@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness (driver contract: prints ONE JSON line).
+  *
+  * Headline: extraction throughput in turns/sec over deterministic
+  * synthetic transcripts (seed=42), warmup run excluded, median of 3
+  * timed runs; plus per-query wall times for every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR. See graft.Scaling for the N-vs-4N efficiency run.
+  */
 object Bench {
+
+  def timeIt[T](f: => T): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  /** One extraction pass; returns rows processed. */
+  def extractionRun(spark: SparkSession, numConvs: Long): Long = {
+    val turns = graft.synth.SynthTranscripts.turns(spark, numConvs)
+    val (out, _) = graft.pipe.Job.run(spark, turns, "bench",
+      orderOutput = false)
+    out.toDF().selectExpr("sum(n_spans)", "count(*)").collect()(0)
+      .getLong(1)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000")
+      .toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // headline: extraction throughput (turns/sec), warmup excluded
+    var rows = 0L
+    rows = extractionRun(spark, numConvs) // warmup (JIT + codegen)
+    val times = (1 to 3).map(_ => timeIt {
+      rows = extractionRun(spark, numConvs)
+    })
+    val extractSec = median(times)
+    val turnsPerSec = rows / extractSec
+
+    // per-query timings on the sf dir
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t = timeIt {
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+        }
+        name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("x_extraction_throughput" -> extractSec))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSec
+    println("{\"metric\":\"total\",\"value\":" + f"$total%.3f" +
+      ",\"unit\":\"sec\",\"queries\":" + qs +
+      ",\"sf\":\"" + sfDir + "\",\"turns\":" + rows +
+      ",\"turns_per_sec\":" + turnsPerSec.toLong + "}")
     spark.stop()
   }
 }

@@ -1,0 +1,134 @@
+package graft.extract
+
+import graft.html.{Boilerplate, Dom, HtmlTokenizer}
+import graft.pdf.XyCut
+import graft.schema.{Extraction, Span, Turn, Versions}
+import graft.text.{Normalizer, Render}
+import graft.tool.ToolSpans
+
+/** The per-turn extractor router — deterministic payload dispatch
+  * (role/tool/content sniffing), the reference's weighted engine-selector
+  * (vkit/engine/interface.py:188-227) made deterministic. Pure function of
+  * the row: safe under Spark task retries (the determinism contract the
+  * reference gets from SeedSequence spawning, vkit/utility/pool.py:86-96).
+  *
+  * All failures (tokenizer bounds, malformed JSON) fall back to the plain
+  * path with `error` set — the reference's fallback-to-NOP-on-invalid
+  * pattern (vkit/element/polygon.py:569-577).
+  */
+object Extractor {
+
+  /** Content sniffing: which extractor handles this turn? */
+  def route(role: String, tool: String, text: String): String = {
+    if (role == "tool" || (tool != null && tool.nonEmpty)) "tool"
+    else if (looksHtml(text)) "html"
+    else if (looksPdfRuns(text)) "pdf"
+    else "plain"
+  }
+
+  def looksHtml(text: String): Boolean = {
+    val t = firstNonWs(text)
+    if (t < 0 || text.charAt(t) != '<') return false
+    val probe = text.substring(t, math.min(text.length, t + 512))
+      .toLowerCase
+    probe.startsWith("<!doctype") || probe.startsWith("<html") ||
+      probe.contains("<div") || probe.contains("<p>") ||
+      probe.contains("<p ") || probe.contains("<body") ||
+      probe.contains("<span") || probe.contains("<table") ||
+      probe.contains("<ul") || probe.contains("<h1") ||
+      probe.contains("<article") || probe.contains("<section") ||
+      probe.contains("<br")
+  }
+
+  def looksPdfRuns(text: String): Boolean = {
+    val t = firstNonWs(text)
+    t >= 0 && text.charAt(t) == '[' &&
+      text.indexOf("\"x0\"") >= 0 && text.indexOf("\"text\"") >= 0
+  }
+
+  private def firstNonWs(s: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      if (!Normalizer.isWs(s.charAt(i))) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Plain-text spec PLAIN-1: paragraphs split at blank lines; one span
+    * per paragraph covering [first non-ws char, last non-ws char + 1).
+    */
+  def plainSpans(text: String): Vector[Span] = {
+    val out = Vector.newBuilder[Span]
+    var i = 0
+    val n = text.length
+    var parStart = -1 // first non-ws char of current paragraph
+    var parEnd = -1 // one past last non-ws char
+    var lineHasContent = false
+    var lineStart = 0
+    def flushPar(): Unit = {
+      if (parStart >= 0) out += Span(parStart, parEnd, "block")
+      parStart = -1; parEnd = -1
+    }
+    while (i <= n) {
+      if (i == n || text.charAt(i) == '\n') {
+        if (!lineHasContent) flushPar()
+        lineHasContent = false
+        lineStart = i + 1
+      } else {
+        val c = text.charAt(i)
+        if (!Normalizer.isWs(c)) {
+          lineHasContent = true
+          if (parStart < 0) parStart = i
+          parEnd = i + 1
+        }
+      }
+      i += 1
+    }
+    flushPar()
+    out.result()
+  }
+
+  private val domLimits = Dom.Limits()
+
+  /** Extract one turn. Never throws. */
+  def extract(role: String, tool: String, text: String): Extraction = {
+    val payload = if (text == null) "" else text
+    route(role, if (tool == null) "" else tool, payload) match {
+      case "tool" =>
+        val (kind, spans) = ToolSpans.extract(tool, payload)
+        finish(kind, payload, spans, "")
+      case "html" =>
+        try finish("html", payload,
+          Boilerplate.extractSpans(payload, domLimits), "")
+        catch {
+          case e: HtmlTokenizer.BoundsExceeded => fallback(payload, e)
+          case e: StackOverflowError => fallback(payload,
+            new Exception("stack overflow"))
+        }
+      case "pdf" =>
+        try finish("pdf", payload, XyCut.extractSpans(payload), "")
+        catch { case e: XyCut.PdfParseError => fallback(payload, e) }
+      case _ =>
+        finish("plain", payload, plainSpans(payload), "")
+    }
+  }
+
+  def extract(t: Turn): Extraction = extract(t.role, t.tool, t.text)
+
+  private def finish(kind: String, payload: String, spans: Seq[Span],
+      error: String): Extraction = {
+    // Drop spans of blocks that render empty so extracted_text is always
+    // exactly render(payload, spans, kind) with no empty blocks.
+    val kept = Render.blocks(spans).filter(b =>
+      Render.blockText(payload, b, kind).nonEmpty).flatten
+    Extraction(kind, Render.render(payload, kept, kind), kept, error,
+      Versions.ExtractorVersion)
+  }
+
+  private def fallback(payload: String, e: Throwable): Extraction = {
+    val ex = finish("plain", payload, plainSpans(payload),
+      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    ex
+  }
+}

@@ -1,0 +1,77 @@
+package graft.schema
+
+import java.sql.Timestamp
+
+/** Input row shape, per BASELINE.json:input_hint — one row per transcript
+  * turn. Mirrors the reference's per-record pipeline input (a page spec);
+  * see /root/reference vkit/pipeline/interface.py:47-61 (PipelineState).
+  */
+case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+/** A half-open char interval [begin, end) into the ORIGINAL `text` payload.
+  *
+  * 1D analogue of the reference's `Box` (inclusive 2D interval product,
+  * vkit/element/box.py:32-39). `kind` is "block" for a span that starts a
+  * new output block and "cont" for a span continuing the current block —
+  * the grouping that lets `Render` recompute `extracted_text` from spans
+  * alone (the char<->box alignment invariant of
+  * vkit/engine/font/freetype.py:934-940, restated in 1D).
+  */
+case class Span(begin: Int, end: Int, kind: String) {
+  def len: Int = end - begin
+  def shift(k: Int): Span = Span(begin + k, end + k, kind)
+  def clip(lo: Int, hi: Int): Span =
+    Span(math.max(begin, lo), math.min(end, hi), kind)
+  def valid: Boolean = begin >= 0 && begin <= end
+}
+
+/** Per-turn extractor output. `spans` are sorted, pairwise disjoint,
+  * in-bounds char offsets into the original payload; `extracted_text` MUST
+  * equal `Render.render(text, spans, extractor)` (consistency-by-
+  * construction, cf. the reference's distortion applying one transform to
+  * every element view, vkit/mechanism/distortion/interface.py:823-912).
+  */
+case class Extraction(
+    extractor: String, // plain | html | pdf | tool
+    extracted_text: String,
+    spans: Seq[Span],
+    error: String, // "" when clean; non-empty => raw-text fallback used
+    extractor_version: String)
+
+/** Joined output row written by the pipeline. */
+case class ExtractedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    tool: String,
+    extractor: String,
+    extracted_text: String,
+    spans: Seq[Span],
+    n_spans: Int,
+    error: String,
+    extractor_version: String)
+
+/** Per-partition lineage row (reference analogue: the rng-state record
+  * stored for replay, vkit/pipeline/interface.py:227-231, plus the pool's
+  * per-worker bookkeeping, vkit/utility/pool.py:86-96).
+  */
+case class LineageRow(
+    run_id: String,
+    stage_id: Int,
+    partition_id: Int,
+    rows_in: Long,
+    rows_out: Long,
+    errors: Long,
+    wall_ms: Long,
+    extractor_version: String)
+
+object Versions {
+  /** Frozen spec version; bump when NORM/BOIL/XYCUT/TOOL rules change. */
+  val ExtractorVersion = "v1"
+}
