@@ -95,20 +95,25 @@ object Job {
     (out, acc)
   }
 
-  /** Full pipeline: dedupe -> extract -> global (conv_id, turn_idx) range
-    * order. Returns the ordered output; lineage is materialized by
-    * `lineage(...)` AFTER an action has run.
+  /** Full pipeline: dedupe -> global (conv_id, turn_idx) range order ->
+    * extract. The range shuffle runs BEFORE extraction on purpose:
+    * RangePartitioning samples its child by re-executing it, so ordering
+    * after extraction would run every extractor twice (caught by the
+    * lineage accounting test). mapPartitions preserves ordering and
+    * partitioning, so the output stays globally ordered; range
+    * partitioning also splits a mega-conversation across consecutive
+    * partitions instead of hotspotting one reducer.
     */
   def run(spark: SparkSession, turns: Dataset[Turn], runId: String,
       orderOutput: Boolean = true)
       : (Dataset[ExtractedTurn], CollectionAccumulator[LineageRow]) = {
-    val (extracted, acc) = extract(spark, dedupe(spark, turns), runId)
+    val deduped = dedupe(spark, turns)
     val ordered =
       if (orderOutput)
-        extracted.repartitionByRange(col("conv_id"), col("turn_idx"))
+        deduped.repartitionByRange(col("conv_id"), col("turn_idx"))
           .sortWithinPartitions("conv_id", "turn_idx")
-      else extracted
-    (ordered, acc)
+      else deduped
+    extract(spark, ordered, runId)
   }
 
   /** Lineage rows collected so far (call after an action). */

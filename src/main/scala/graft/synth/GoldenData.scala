@@ -1,0 +1,78 @@
+package graft.synth
+
+import graft.schema.Turn
+import java.sql.Timestamp
+
+/** The golden-small fixture input (FIXTURES.md section 3): ~20 synthetic
+  * conversations covering every payload kind, plus hand-written edge-case
+  * turns. Pure data — the committed goldens in
+  * src/test/resources/golden/golden_small.jsonl are the frozen expected
+  * extraction of exactly these turns (regenerate with
+  * `sbt "Test/runMain graft.MakeGoldens"` ONLY on a deliberate spec bump,
+  * then review the diff).
+  */
+object GoldenData {
+
+  private def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+
+  /** Hand-written edge cases (FIXTURES.md section 3 list). */
+  val edgeTurns: Seq[Turn] = Seq(
+    // empty + whitespace-only
+    Turn("edge-empty", 0, "user", "", "", ts(0)),
+    Turn("edge-empty", 1, "user", "   \n\t  ", "", ts(1)),
+    // boilerplate-only html -> extracted_text == "", spans == []
+    Turn("edge-boiler", 0, "assistant",
+      "<html><body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>" +
+        "<footer><a href='/t'>tos</a></footer></body></html>", "", ts(2)),
+    // malformed html: unclosed + mismatched tags
+    Turn("edge-malformed", 0, "assistant",
+      "<div><p>alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma</b></span>", "", ts(3)),
+    // entity at payload boundary + truncated entity
+    Turn("edge-entity", 0, "assistant",
+      "<p>one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen &amp;</p>", "", ts(4)),
+    Turn("edge-entity", 1, "assistant",
+      "<p>one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen &am", "", ts(5)),
+    // tag bomb -> bounded-work fallback, error column set
+    Turn("edge-bomb", 0, "assistant", "<p>" + ("<b>" * 300000), "", ts(6)),
+    // CJK + fullwidth normalization
+    Turn("edge-cjk", 0, "user",
+      "数据 分析　ＡＢＣ！ plus ascii words here to make it long enough",
+      "", ts(7)),
+    // pdf runs emitted in shuffled order
+    Turn("edge-pdf", 0, "user",
+      """[{"page":0,"x0":0,"y0":20,"x1":30,"y1":30,"text":"second"},""" +
+        """{"page":0,"x0":0,"y0":0,"x1":30,"y1":10,"text":"first"},""" +
+        """{"page":0,"x0":33,"y0":0,"x1":60,"y1":10,"text":"line"}]""",
+      "", ts(8)),
+    // malformed pdf runs -> fallback
+    Turn("edge-pdf", 1, "user",
+      """[{"page":0,"x0":0,"text":"no coords"}]""", "", ts(9)),
+    // tool with zero main-content spans
+    Turn("edge-tool", 0, "tool", "$ true\nexit_code: 0", "bash", ts(10)),
+    // tool search with escapes in snippet
+    Turn("edge-tool", 1, "tool",
+      """{"results":[{"title":"A \"quoted\" title","url":"u",""" +
+        """"snippet":"line\nbreak snippet"}]}""", "search", ts(11)),
+    // duplicate (conv_id, turn_idx): later ts wins
+    Turn("edge-dup", 0, "user", "stale version of the turn", "", ts(12)),
+    Turn("edge-dup", 0, "user", "fresh version of the turn", "", ts(99)),
+    // plain with messy paragraph whitespace
+    Turn("edge-plain", 0, "user",
+      "  lead ws\nsecond line  \n\n\n  par two  \n\t\n par three", "",
+      ts(13)))
+
+  /** Full golden-small input: 20 synthetic convs + edges. */
+  def inputTurns: Seq[Turn] =
+    (0L until 20L).flatMap(c =>
+      SynthTranscripts.genConv(42L, c, megaEvery = 0, megaTurns = 0)) ++
+      edgeTurns
+
+  /** Skew fixture: 3 convs with 1 / 100 / 10000 turns (golden-skew). */
+  def skewTurns: Seq[Turn] =
+    SynthTranscripts.genConv(7L, 1L, 0, 0).take(1) ++
+      (0 until 100).map(t => SynthTranscripts.makeTurn(7L, 2L, t)) ++
+      (0 until 10000).map(t => SynthTranscripts.makeTurn(7L, 3L, t))
+}
