@@ -246,6 +246,74 @@ object SparkEntry {
         .select($"doc_id", $"h", ($"dup_cnt" > 1).as("is_dup"))
     },
 
+    "t_dedup_minhash" -> { (s, dir) =>
+      import s.implicits._
+      // corpus = documents + near-dup twins (tail words appended);
+      // MinHash LSH candidates, EXACT jaccard >= 0.8 verification
+      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      val corpus = d.union(d.map { case (id, t) =>
+        (id + 1000000L, t + " graft dedup tail marker")
+      })
+      graft.ops.MinHashDedup.nearDuplicates(s, corpus)
+    },
+
+    "t_dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      // corpus = documents + exact copies (hamming 0) — rows-only check;
+      // semantics are unit-tested
+      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      val corpus = d.union(d.map { case (id, t) => (id + 1000000L, t) })
+      graft.ops.SimHash.nearDuplicates(s, corpus)
+    },
+
+    "t_ann_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      graft.ops.Ann.bruteForceTopK(s, corpus, queries, k = 3)
+    },
+
+    "t_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      graft.ops.Ann.lshTopK(s, corpus, queries, k = 3)
+    },
+
+    "t_quality" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ops.TextStats._
+      docs(s, dir).select($"doc_id",
+        nTokens($"text").as("n_tokens"),
+        stopwordRatio($"text").as("sw_ratio"),
+        uniqTokenRatio($"text").as("uniq_ratio"),
+        qualityScore($"text").as("quality"))
+    },
+
+    "t_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+        graft.ops.TextStats.fingerprint($"text").as("fp"))
+    },
+
+    "q_robust_stats" -> { (s, dir) =>
+      import s.implicits._
+      // median + MAD (the reference's outlier rule,
+      // page_resizing.py:64-84) as exact percentiles
+      val l = tbl(s, dir, "lineitem")
+      val med = l.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      l.join(med, "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(round(first($"med"), 4).as("med"),
+          round(expr("percentile(abs(l_quantity - med), 0.5)"), 4)
+            .as("mad"))
+    },
+
     "t_lang_id" -> { (s, dir) =>
       import s.implicits._
       // LANGID-1: CJK chars -> zh; else English stopword ratio >= 0.02
@@ -341,6 +409,65 @@ object SparkEntry {
       ("SELECT doc_id, md5(text) AS h, " +
         "count(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup " +
         "FROM documents"),
+
+    "t_dedup_minhash" ->
+      ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, " +
+        "text || ' graft dedup tail marker' FROM documents), " +
+        "toks AS (SELECT id, string_split(text, ' ') AS ws FROM corpus), " +
+        "sh AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
+        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, " +
+        "round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard " +
+        "FROM inter JOIN cnt ca ON ca.id = id_a " +
+        "JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    "t_ann_cosine" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qvec " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, e.vec_id AS id, " +
+        "list_cosine_similarity(q.qvec, e.embedding) AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
+        "SELECT qid, rank, id FROM (SELECT qid, id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
+        "FROM scored) WHERE rank <= 3"),
+
+    "t_quality" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) AS sw_ratio, " +
+        "round(len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) AS uniq_ratio, " +
+        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND " +
+        "1000 THEN 0.4 WHEN len(string_split(text, ' ')) >= 5 THEN 0.2 " +
+        "ELSE 0.0 END) + (CASE WHEN " +
+        "len(list_filter(string_split(text, ' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
+        "len(string_split(text, ' ')) BETWEEN 0.01 AND 0.4 THEN 0.3 " +
+        "ELSE 0.0 END) + (CASE WHEN " +
+        "len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')) >= 0.3 THEN 0.3 WHEN " +
+        "len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 END), 2) " +
+        "AS quality FROM documents"),
+
+    "t_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents"),
+
+    "q_robust_stats" ->
+      ("WITH med AS (SELECT l_returnflag, median(l_quantity) AS med " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, round(any_value(med.med), 4) AS med, " +
+        "round(median(abs(l_quantity - med.med)), 4) AS mad " +
+        "FROM lineitem JOIN med USING (l_returnflag) GROUP BY 1"),
 
     "t_lang_id" ->
       ("SELECT doc_id, CASE " +

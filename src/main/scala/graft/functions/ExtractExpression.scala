@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.extract.Extractor
+
+/** SQL surface for the extractor: a native Catalyst expression (design
+  * preference (b) — custom Expression over UDF) so `spark.sql` users can
+  * call
+  *
+  *   SELECT extract_main_content(text, role, tool) FROM turns
+  *
+  * Returns a struct (extractor, extracted_text, n_spans, error, spans).
+  * `doGenCode` emits a static call into [[ExtractOps]] so the enclosing
+  * WholeStageCodegen span is preserved (no CodegenFallback interpreter
+  * switch for the rest of the stage).
+  */
+object ExtractOps {
+
+  val sparkDataType: DataType = StructType(Seq(
+    StructField("extractor", StringType, nullable = false),
+    StructField("extracted_text", StringType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false),
+    StructField("error", StringType, nullable = false),
+    StructField("spans", ArrayType(StructType(Seq(
+      StructField("begin", IntegerType, nullable = false),
+      StructField("end", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  /** Codegen/eval entry: null-tolerant on role/tool. */
+  def eval(text: UTF8String, role: UTF8String,
+      tool: UTF8String): InternalRow = {
+    val ex = Extractor.extract(
+      if (role == null) "" else role.toString,
+      if (tool == null) "" else tool.toString,
+      if (text == null) "" else text.toString)
+    val spans = new GenericArrayData(ex.spans.map(s =>
+      InternalRow(s.begin, s.end, UTF8String.fromString(s.kind))).toArray)
+    InternalRow(
+      UTF8String.fromString(ex.extractor),
+      UTF8String.fromString(ex.extracted_text),
+      ex.spans.length,
+      UTF8String.fromString(ex.error),
+      spans)
+  }
+}
+
+case class ExtractMainContent(text: Expression, role: Expression,
+    tool: Expression) extends TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = role
+  override def third: Expression = tool
+
+  override def dataType: DataType = ExtractOps.sparkDataType
+  override def nullable: Boolean = text.nullable
+
+  override def prettyName: String = "extract_main_content"
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else ExtractOps.eval(t.asInstanceOf[UTF8String],
+      role.eval(input).asInstanceOf[UTF8String],
+      tool.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tG = text.genCode(ctx)
+    val rG = role.genCode(ctx)
+    val lG = tool.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    val code =
+      code"""
+        ${tG.code}
+        ${rG.code}
+        ${lG.code}
+        boolean ${ev.isNull} = ${tG.isNull};
+        $rowCls ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.ExtractOps.eval(
+            ${tG.value},
+            ${rG.isNull} ? null : ${rG.value},
+            ${lG.isNull} ? null : ${lG.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(text = newFirst, role = newSecond, tool = newThird)
+}
+
+object GraftFunctions {
+
+  /** Column-API surface (requires register(spark) once per session). */
+  def extract_main_content(text: Column, role: Column,
+      tool: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "extract_main_content", text, role, tool)
+
+  private def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "extract_main_content(text, role, tool) takes 3 arguments")
+    ExtractMainContent(exprs(0), exprs(1), exprs(2))
+  }
+
+  /** Imperative registration (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_main_content", builder, "built-in")
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "extract_main_content"),
+      new ExpressionInfo(classOf[ExtractMainContent].getName,
+        "extract_main_content"),
+      (exprs: Seq[Expression]) =>
+        ExtractMainContent(exprs(0), exprs(1), exprs(2))))
+  }
+}

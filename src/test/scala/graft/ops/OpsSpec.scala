@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.pipe.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MinHashDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("shingles and exact jaccard") {
+    val a = MinHashDedup.shingles("a b c d e", 3)
+    assert(a.size == 3)
+    assert(MinHashDedup.exactJaccard(a, a) == 1.0)
+    val b = MinHashDedup.shingles("a b c d x", 3)
+    // shared: "a b c", "b c d"; union size 4
+    assert(MinHashDedup.exactJaccard(a, b) == 0.5)
+    assert(MinHashDedup.shingles("a b", 3) ==
+      Set(MinHashDedup.hashString("a b")))
+    assert(MinHashDedup.shingles("", 3).isEmpty)
+  }
+
+  test("signature similarity estimates jaccard") {
+    val r = new java.util.Random(5)
+    val base = (0 until 60).map(_ => s"w${r.nextInt(1000)}").mkString(" ")
+    val near = base + " tail1 tail2"
+    val far = (0 until 60).map(_ => s"v${r.nextInt(1000)}").mkString(" ")
+    def sig(t: String) =
+      MinHashDedup.signature(MinHashDedup.shingles(t, 3), 128, 42L)
+    def est(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y } / 128.0
+    val jNear = MinHashDedup.exactJaccard(
+      MinHashDedup.shingles(base, 3), MinHashDedup.shingles(near, 3))
+    assert(math.abs(est(sig(base), sig(near)) - jNear) < 0.15)
+    assert(est(sig(base), sig(far)) < 0.15)
+  }
+
+  test("end-to-end near-duplicate detection on a controlled corpus") {
+    import spark.implicits._
+    val r = new java.util.Random(9)
+    val texts = (0 until 30).map(i =>
+      (i.toLong, (0 until 50).map(_ => s"w${r.nextInt(500)}")
+        .mkString(" ")))
+    // 3 near-dup twins with one word changed
+    val twins = texts.take(3).map { case (id, t) =>
+      (id + 100L, t.replaceFirst("^\\S+", "changed"))
+    }
+    val corpus = spark.createDataset(texts ++ twins)
+    val pairs = MinHashDedup.nearDuplicates(spark, corpus,
+      threshold = 0.8).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys == Set((0L, 100L), (1L, 101L), (2L, 102L)),
+      s"got $keys")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+}
+
+class SimHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("identical text -> distance 0; near text -> small distance") {
+    val t = "the quick brown fox jumps over the lazy dog " * 5
+    assert(SimHash.hamming(SimHash.simhash64(t), SimHash.simhash64(t)) == 0)
+    val t2 = t + " extra"
+    assert(SimHash.hamming(SimHash.simhash64(t),
+      SimHash.simhash64(t2)) < 16)
+  }
+
+  test("end-to-end: exact copies found at distance 0") {
+    import spark.implicits._
+    val r = new java.util.Random(3)
+    val texts = (0 until 20).map(i =>
+      (i.toLong, (0 until 40).map(_ => s"w${r.nextInt(400)}")
+        .mkString(" ")))
+    val corpus = spark.createDataset(
+      texts ++ texts.take(4).map { case (id, t) => (id + 100L, t) })
+    val pairs = SimHash.nearDuplicates(spark, corpus, maxDist = 3)
+      .collect()
+    val exact = pairs.filter(_.getInt(2) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L))
+      .subsetOf(exact))
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mkVecs(n: Int, dim: Int, seed: Int) = {
+    val r = new java.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(r.nextFloat() * 2 - 1)))
+  }
+
+  test("cosine expression matches scala computation") {
+    import spark.implicits._
+    val vs = mkVecs(10, 16, 1)
+    val df = spark.createDataset(vs).toDF("id", "vec")
+    val got = df.crossJoin(df.select($"id".as("id2"), $"vec".as("vec2")))
+      .filter($"id" === 0 && $"id2" === 1)
+      .select(Ann.cosine($"vec", $"vec2")).first().getDouble(0)
+    val a = vs(0)._2; val b = vs(1)._2
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val exp = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("brute force top-k is exact and deterministic") {
+    import spark.implicits._
+    val vs = mkVecs(50, 16, 2)
+    val corpus = spark.createDataset(vs).toDF("id", "vec")
+    val queries = spark.createDataset(vs.take(3)).toDF("qid", "qvec")
+    val got = Ann.bruteForceTopK(spark, corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // scala oracle
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val exp = (for ((qid, qv) <- vs.take(3)) yield {
+      vs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }).flatten.toSet
+    assert(got == exp)
+  }
+
+  test("lsh top-k: rank-1 self-similar twin always found") {
+    import spark.implicits._
+    val vs = mkVecs(60, 16, 4)
+    // plant a near-identical twin for query 0
+    val twin = (999L, vs(0)._2.map(x => x * 1.001f))
+    val corpus = spark.createDataset(vs ++ Seq(twin)).toDF("id", "vec")
+    val queries = spark.createDataset(vs.take(1)).toDF("qid", "qvec")
+    val got = Ann.lshTopK(spark, corpus, queries, 3).collect()
+    assert(got.exists(r => r.getInt(1) == 1 && r.getLong(2) == 999L),
+      s"twin not found: ${got.mkString(",")}")
+  }
+}
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("token stats and quality bands") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog of doom jumps over " +
+        "a fence in the yard again and again today"),
+      (2L, "x"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextStats.nTokens($"text").as("n"),
+      TextStats.stopwordRatio($"text").as("sw"),
+      TextStats.uniqTokenRatio($"text").as("uq"),
+      TextStats.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L)._1 == 21)
+    assert(out(1L)._4 == 1.0) // long + stopwords + diverse
+    assert(out(2L)._4 == 0.3) // short + no stopwords, but fully unique
+    assert(out(3L)._2 == 0.0)
+    assert(out(3L)._3 == 0.1)
+    assert(out(3L)._4 == 0.3) // len>=5 (0.2) + uniq 0.1 band (0.1)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "acb"), (3L, "abc"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextStats.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    // matches the polynomial definition
+    val exp = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    assert(fps(1L) == exp)
+  }
+}
