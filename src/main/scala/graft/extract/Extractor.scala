@@ -118,12 +118,14 @@ object Extractor {
 
   private def finish(kind: String, payload: String, spans: Seq[Span],
       error: String): Extraction = {
-    // Drop spans of blocks that render empty so extracted_text is always
-    // exactly render(payload, spans, kind) with no empty blocks.
-    val kept = Render.blocks(spans).filter(b =>
-      Render.blockText(payload, b, kind).nonEmpty).flatten
-    Extraction(kind, Render.render(payload, kept, kind), kept, error,
-      Versions.ExtractorVersion)
+    // Render each block once; drop blocks that render empty so
+    // extracted_text is always exactly render(payload, spans, kind)
+    // with no empty blocks (render == '\n'-join of block texts).
+    val rendered = Render.blocks(spans)
+      .map(b => (b, Render.blockText(payload, b, kind)))
+      .filter(_._2.nonEmpty)
+    Extraction(kind, rendered.map(_._2).mkString("\n"),
+      rendered.flatMap(_._1), error, Versions.ExtractorVersion)
   }
 
   private def fallback(payload: String, e: Throwable): Extraction = {

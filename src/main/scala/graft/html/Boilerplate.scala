@@ -107,18 +107,24 @@ object Boilerplate {
     val pathStack = scala.collection.mutable.ArrayBuffer[String]()
     var anchorDepth = 0
 
+    val curParts = new java.lang.StringBuilder
+
     def flush(): Unit = {
       val spans0 = curSpans.result()
       if (spans0.nonEmpty) {
         val spans = spans0.zipWithIndex.map { case (s, i) =>
           Span(s.begin, s.end, if (i == 0) "block" else "cont")
         }
-        val text = Render.blockText(raw, spans, "html")
+        // decode happened once in the walk; wsCollapse(concat(decoded))
+        // here equals Render.blockText(raw, spans, "html") by
+        // construction (same decode, "" joiner) — asserted in tests
+        val text = Normalizer.wsCollapse(curParts.toString)
         if (text.nonEmpty)
           blocks += TextBlock(spans, text, countWords(text),
             curAnchorWords, curPath)
       }
       curSpans.clear()
+      curParts.setLength(0)
       curAnchorWords = 0
       curCount = 0
     }
@@ -129,6 +135,7 @@ object Boilerplate {
         if (!Normalizer.isBlank(decoded)) {
           if (curCount == 0) curPath = pathStack.mkString("/")
           curSpans += Span(b, e, "cont")
+          curParts.append(decoded)
           curCount += 1
           if (anchorDepth > 0)
             curAnchorWords += countWords(Normalizer.wsCollapse(decoded))

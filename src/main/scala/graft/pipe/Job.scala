@@ -10,40 +10,43 @@ import org.apache.spark.util.CollectionAccumulator
 
 /** The extraction pipeline (north rule):
   *
-  *   read -> dedupe+stable-order (one window over fine-grained keys)
-  *        -> mapPartitions(extract)  [typed, per-partition lineage]
-  *        -> repartitionByRange(conv_id, turn_idx) + sortWithinPartitions
-  *        -> write + metrics table
+  *   read -> ONE key shuffle (range for ordered output, hash otherwise)
+  *        -> sortWithinPartitions(conv_id, turn_idx, ts DESC, ...)
+  *        -> mapPartitions(dedupe-consecutive + extract) with lineage
   *
   * Scale notes (100 TB / 10^12 turns):
-  *  - The dedupe window partitions by (conv_id, turn_idx) — groups are a
-  *    handful of rows even for mega-conversations, so the shuffle is
-  *    skew-free by construction; no salting needed on this path.
-  *  - Extraction is a narrow map over the window's hash partitioning —
-  *    a mega-conversation's turns are already spread across partitions
-  *    (hash includes turn_idx), which IS the salting the north rule asks
-  *    for; `saltedRepartition` below is the explicit variant for inputs
-  *    that arrive clustered by conv_id (e.g. Iceberg sorted files).
-  *  - Final presentation order uses RANGE partitioning, which splits a
-  *    mega-conversation across consecutive partitions instead of
-  *    hotspotting one reducer (AQE skew-split still applies on top).
-  *  - Extraction is a pure function of the row (deterministic under task
-  *    retry; reference contract: vkit/utility/pool.py:86-96).
+  *  - Dedupe and stable ordering share ONE shuffle: rows are clustered
+  *    by (conv_id, turn_idx) — duplicates land in the same partition
+  *    under both hash and range partitioning — and the local sort puts
+  *    the winning duplicate (latest ts, deterministic tiebreaks) first,
+  *    so dedupe is a constant-memory consecutive-key skip inside the
+  *    extraction pass. The previous design used a row_number window
+  *    (extra exchange + full-payload sort) for the same semantics.
+  *  - Range partitioning for ordered output splits mega-conversations
+  *    across consecutive partitions instead of hotspotting one reducer
+  *    (skew-safe by construction; AQE skew handling applies on top).
+  *    The range sampling pass re-executes only the slim scan, never the
+  *    extractors (extraction is downstream of the exchange).
+  *  - Extraction is a pure function of the row — deterministic under
+  *    task retry (reference contract: vkit/utility/pool.py:86-96).
   */
 object Job {
 
   /** Explicit salted repartition for conv_id-clustered inputs: hash on
     * (conv_id, turn_idx % salt) so one mega-conversation lands on `salt`
-    * different reducers.
+    * different reducers. NOTE: not dedupe-safe (duplicate rows of one
+    * turn stay together only within a salt residue — fine, identical
+    * turn_idx => identical residue).
     */
   def saltedRepartition(ds: Dataset[Turn], partitions: Int,
       salt: Int): Dataset[Turn] =
     ds.repartition(partitions, col("conv_id"),
       pmod(col("turn_idx"), lit(salt)))
 
-  /** Dedupe duplicate (conv_id, turn_idx) rows keeping the latest ts
-    * (row_number()=1 — FIXTURES.md edge case), with a deterministic
-    * tiebreak on the payload so replays are stable.
+  /** Standalone dedupe (window form) — kept as the reference semantics
+    * for tests and for callers that need dedupe without extraction:
+    * keep row_number()=1 per (conv_id, turn_idx) ordered by latest ts
+    * with deterministic tiebreaks.
     */
   def dedupe(spark: SparkSession, turns: Dataset[Turn]): Dataset[Turn] = {
     import spark.implicits._
@@ -53,39 +56,48 @@ object Job {
       .filter($"rn" === 1).drop("rn").as[Turn]
   }
 
-  /** Run extraction over deduped turns; lineage rows are collected via a
-    * CollectionAccumulator (per-partition: rows in/out, errors, wall).
+  /** Extraction with consecutive-duplicate skip over key-sorted
+    * partitions; per-partition lineage via accumulator.
     */
-  def extract(spark: SparkSession, turns: Dataset[Turn], runId: String)
+  private def extractSorted(spark: SparkSession, sorted: Dataset[Turn],
+      runId: String)
       : (Dataset[ExtractedTurn], CollectionAccumulator[LineageRow]) = {
     import spark.implicits._
     val acc = spark.sparkContext.collectionAccumulator[LineageRow](
       s"lineage-$runId")
-    val out = turns.mapPartitions { it =>
+    val out = sorted.mapPartitions { it =>
       val t0 = System.nanoTime()
       var rowsIn = 0L
+      var rowsOut = 0L
       var errors = 0L
       val part = TaskContext.getPartitionId()
       val stage = Option(TaskContext.get()).map(_.stageId()).getOrElse(-1)
-      val mapped = it.map { t =>
+      var prevConv: String = null
+      var prevTurn = Int.MinValue
+      val mapped = it.flatMap { t =>
         rowsIn += 1
-        val ex = Extractor.extract(t)
-        if (ex.error.nonEmpty) errors += 1
-        ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.extractor,
-          ex.extracted_text, ex.spans, ex.spans.length, ex.error,
-          ex.extractor_version)
+        if (t.conv_id == prevConv && t.turn_idx == prevTurn) None
+        else {
+          prevConv = t.conv_id
+          prevTurn = t.turn_idx
+          rowsOut += 1
+          val ex = Extractor.extract(t)
+          if (ex.error.nonEmpty) errors += 1
+          Some(ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool,
+            ex.extractor, ex.extracted_text, ex.spans, ex.spans.length,
+            ex.error, ex.extractor_version))
+        }
       }
-      // emit lineage once the iterator is exhausted (single pass)
       new Iterator[ExtractedTurn] {
+        private var emitted = false
         def hasNext: Boolean = {
           val h = mapped.hasNext
-          if (!h && rowsIn >= 0) maybeEmit()
+          if (!h) maybeEmit()
           h
         }
-        private var emitted = false
         private def maybeEmit(): Unit = if (!emitted) {
           emitted = true
-          acc.add(LineageRow(runId, stage, part, rowsIn, rowsIn, errors,
+          acc.add(LineageRow(runId, stage, part, rowsIn, rowsOut, errors,
             (System.nanoTime() - t0) / 1000000L,
             Versions.ExtractorVersion))
         }
@@ -95,25 +107,25 @@ object Job {
     (out, acc)
   }
 
-  /** Full pipeline: dedupe -> global (conv_id, turn_idx) range order ->
-    * extract. The range shuffle runs BEFORE extraction on purpose:
-    * RangePartitioning samples its child by re-executing it, so ordering
-    * after extraction would run every extractor twice (caught by the
-    * lineage accounting test). mapPartitions preserves ordering and
-    * partitioning, so the output stays globally ordered; range
-    * partitioning also splits a mega-conversation across consecutive
-    * partitions instead of hotspotting one reducer.
+  /** Full pipeline. `orderOutput=true` -> range partitioning (globally
+    * ordered output); false -> hash partitioning (cheaper: no range
+    * sampling pass; output clustered but not globally ordered).
     */
   def run(spark: SparkSession, turns: Dataset[Turn], runId: String,
-      orderOutput: Boolean = true)
+      orderOutput: Boolean = true, partitions: Int = 0)
       : (Dataset[ExtractedTurn], CollectionAccumulator[LineageRow]) = {
-    val deduped = dedupe(spark, turns)
-    val ordered =
+    val p =
+      if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val keyed =
       if (orderOutput)
-        deduped.repartitionByRange(col("conv_id"), col("turn_idx"))
-          .sortWithinPartitions("conv_id", "turn_idx")
-      else deduped
-    extract(spark, ordered, runId)
+        turns.repartitionByRange(p, col("conv_id"), col("turn_idx"))
+      else
+        turns.repartition(p, col("conv_id"), col("turn_idx"))
+    val sorted = keyed.sortWithinPartitions(
+      col("conv_id"), col("turn_idx"), col("ts").desc,
+      length(col("text")).desc, col("text").desc)
+    extractSorted(spark, sorted, runId)
   }
 
   /** Lineage rows collected so far (call after an action). */

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.extract.Extractor
+import graft.schema.{ExtractedTurn, Turn}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured Streaming variant of the extraction pipeline: the same
+  * pure per-turn extractor over a micro-batched source, with
+  * exactly-once file sink + checkpointing (the streaming face of the
+  * Checkpoint/manifest resume contract).
+  *
+  * Design notes:
+  *  - Extraction is stateless per row, so the stream needs no
+  *    watermarks or state store; dedupe across batches (duplicate
+  *    (conv_id, turn_idx) arriving in different micro-batches) is the
+  *    one stateful concern — provided by `withDedupe` via
+  *    dropDuplicates + watermark, bounded state.
+  *  - The reference's closest analogue is its pull-based backpressured
+  *    generator (vkit/utility/pool.py:136-150); rate control maps to
+  *    `maxFilesPerTrigger` / trigger intervals.
+  */
+object StreamingJob {
+
+  /** Transform a streaming Dataset[Turn] into extracted turns. */
+  def extractStream(turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      it.map { t =>
+        val ex = Extractor.extract(t)
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.extractor,
+          ex.extracted_text, ex.spans, ex.spans.length, ex.error,
+          ex.extractor_version)
+      }
+    }
+  }
+
+  /** Cross-batch dedupe on (conv_id, turn_idx) with a bounded state
+    * window: rows older than the watermark horizon are expired from
+    * the dedupe state.
+    */
+  def withDedupe(turns: Dataset[Turn],
+      watermarkDelay: String = "1 hour"): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("conv_id", "turn_idx")
+      .as[Turn]
+  }
+
+  /** Read a parquet directory as a stream of turns. */
+  def readTurnStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 8): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(spark.createDataset(Seq.empty[Turn]).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[Turn]
+  }
+
+  /** Full streaming pipeline writer: parquet sink + checkpoint. Caller
+    * starts/awaits the query.
+    */
+  def writer(out: Dataset[ExtractedTurn], outputDir: String,
+      checkpointDir: String): DataStreamWriter[ExtractedTurn] =
+    out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+}

@@ -113,7 +113,9 @@ class GoldenE2ESpec extends AnyFunSuite {
     val (out, acc) = Job.run(spark, input, "lineage-test")
     val n = out.count()
     val lin = Job.lineage(spark, acc).collect()
-    assert(lin.map(_.rows_in).sum == n)
+    // rows_in counts raw rows (incl. the duplicate edge-dup turn);
+    // rows_out counts deduped extracted rows
+    assert(lin.map(_.rows_in).sum == GoldenData.inputTurns.size)
     assert(lin.map(_.rows_out).sum == n)
     assert(lin.map(_.errors).sum >= 2) // bomb + bad pdf edge turns
     assert(lin.forall(_.extractor_version == "v1"))
