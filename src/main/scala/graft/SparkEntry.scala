@@ -257,6 +257,28 @@ object SparkEntry {
       graft.ops.MinHashDedup.nearDuplicates(s, corpus)
     },
 
+    "t_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      // char-8-gram jaccard flavor over the same twin corpus
+      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      val corpus = d.union(d.map { case (id, t) =>
+        (id + 1000000L, t + " graft dedup tail marker")
+      })
+      graft.ops.MinHashDedup.nearDuplicates(s, corpus, threshold = 0.8,
+        shingler = graft.ops.MinHashDedup.charNgrams(_, 8))
+    },
+
+    "t_dedup_embedding" -> { (s, dir) =>
+      import s.implicits._
+      // corpus = embeddings + scaled twins (cosine exactly 1.0);
+      // LSH buckets + multi-probe + exact cosine >= 0.95 verify
+      val emb = tbl(s, dir, "embeddings")
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+      val twins = emb.select(($"id" + 1000000L).as("id"),
+        transform($"vec", x => x * lit(1.01f)).as("vec"))
+      graft.ops.EmbeddingDedup.nearDuplicates(s, emb.union(twins))
+    },
+
     "t_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       // corpus = documents + exact copies (hamming 0) — rows-only check;
@@ -426,6 +448,31 @@ object SparkEntry {
         "FROM inter JOIN cnt ca ON ca.id = id_a " +
         "JOIN cnt cb ON cb.id = id_b " +
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    "t_ngram_jaccard" ->
+      ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, " +
+        "text || ' graft dedup tail marker' FROM documents), " +
+        "sh AS (SELECT DISTINCT id, substr(text, i, 8) AS s FROM " +
+        "(SELECT id, text, unnest(generate_series(1, length(text) - 7)) " +
+        "AS i FROM corpus)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, " +
+        "round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard " +
+        "FROM inter JOIN cnt ca ON ca.id = id_a " +
+        "JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    "t_dedup_embedding" ->
+      ("WITH corpus AS (SELECT vec_id AS id, embedding AS vec " +
+        "FROM embeddings UNION ALL SELECT vec_id + 1000000, " +
+        "list_transform(embedding, x -> x * 1.01::FLOAT) " +
+        "FROM embeddings) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM corpus a JOIN corpus b " +
+        "ON a.id < b.id " +
+        "WHERE list_cosine_similarity(a.vec, b.vec) >= 0.95"),
 
     "t_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qvec " +

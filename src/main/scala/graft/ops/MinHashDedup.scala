@@ -44,6 +44,23 @@ object MinHashDedup {
     h
   }
 
+  /** Char n-grams as 64-bit hashes (set semantics) — the n-gram
+    * Jaccard flavor of near-dup detection.
+    */
+  def charNgrams(text: String, n: Int): Set[Long] = {
+    if (text.length < n) {
+      if (text.isEmpty) Set.empty else Set(hashString(text))
+    } else {
+      val out = Set.newBuilder[Long]
+      var i = 0
+      while (i + n <= text.length) {
+        out += hashString(text.substring(i, i + n))
+        i += 1
+      }
+      out.result()
+    }
+  }
+
   /** Word k-shingles as 64-bit hashes (set semantics). */
   def shingles(text: String, k: Int): Set[Long] = {
     val ws = text.split(' ').filter(_.nonEmpty)
@@ -82,15 +99,18 @@ object MinHashDedup {
     */
   def nearDuplicates(spark: SparkSession, docs: Dataset[(Long, String)],
       shingleK: Int = 3, numPerm: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, bucketCap: Int = 64): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = 64,
+      shingler: String => Set[Long] = null): DataFrame = {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
     val seed = 42L
+    val mk: String => Set[Long] =
+      if (shingler != null) shingler else shingles(_, shingleK)
 
     // (band_idx, band_hash, id) — slim shuffle rows
     val bandRows = docs.flatMap { case (id, text) =>
-      val sig = signature(shingles(text, shingleK), numPerm, seed)
+      val sig = signature(mk(text), numPerm, seed)
       (0 until bands).iterator.map { b =>
         var h = 0xCBF29CE484222325L
         var i = b * rows
@@ -114,7 +134,7 @@ object MinHashDedup {
 
     // exact verification: join shingle sets back for candidates only
     val sh = docs.map { case (id, text) =>
-      (id, shingles(text, shingleK).toSeq)
+      (id, mk(text).toSeq)
     }.toDF("id", "sh")
 
     pairs

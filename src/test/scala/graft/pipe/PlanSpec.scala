@@ -1,0 +1,105 @@
+package graft.pipe
+
+import graft.synth.GoldenData
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that keep the engine fast
+  * at 100 TB — filter/column pushdown into scans, partition pruning,
+  * broadcast joins for dims, and a single exchange in the extraction
+  * pipeline — asserted on the optimizer output so a refactor can't
+  * silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and column pruning reach the parquet scan") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_quantity")
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,45.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), plan)
+  }
+
+  test("partition pruning on a partitioned table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+      .toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val yrs = spark.read.parquet(dir).select("o_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(yrs.length > 1)
+    val df = spark.read.parquet(dir).filter($"o_year" === yrs.head)
+    val plan = df.queryExecution.executedPlan.toString
+    // pruned scan reads only one partition directory
+    assert(plan.contains(s"PartitionFilters: [isnotnull(o_year"), plan)
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scanned.contains(s"o_year=${yrs.last}"))
+  }
+
+  test("dimension joins broadcast (no shuffle join for small dims)") {
+    val df = SparkEntryAccess.query("q_broadcast_join")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("extraction pipeline has exactly one exchange (hash path) and " +
+    "two (range path, sampling excluded)") {
+    import spark.implicits._
+    val ds = spark.createDataset(GoldenData.inputTurns)
+    val (outHash, _) = Job.run(spark, ds, "plan-h", orderOutput = false)
+    val hashPlan = outHash.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(hashPlan).length == 1, hashPlan)
+    val (outRange, _) = Job.run(spark, ds, "plan-r", orderOutput = true)
+    val rangePlan = outRange.queryExecution.executedPlan.toString
+    // rangepartitioning = 1 exchange; no extra exchange after the map
+    assert("Exchange".r.findAllIn(rangePlan).length == 1, rangePlan)
+    assert(rangePlan.contains("rangepartitioning"), rangePlan)
+  }
+
+  test("extraction query keeps upstream in whole-stage codegen") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan")
+      .toString
+    spark.createDataset(GoldenData.inputTurns).write.mode("overwrite")
+      .parquet(dir)
+    val ds = spark.read.parquet(dir).as[graft.schema.Turn]
+    val (out, _) = Job.run(spark, ds, "plan-c", orderOutput = false)
+    out.collect() // finalize THIS dataset's adaptive plan
+    val plan = out.queryExecution.executedPlan.toString
+    // the scan stage and the sort stage are codegen'd ('*(n)' markers);
+    // the typed mapPartitions boundary is expected (single deserialize)
+    assert(plan.contains("*(1) ColumnarToRow"), plan)
+    assert(plan.contains("*(2) Sort"), plan)
+  }
+
+  test("minhash candidate generation shuffles slim rows only") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq((1L, "a b c d e f g")))
+    val df = graft.ops.MinHashDedup.nearDuplicates(spark, docs)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the banding relation projects exactly (band, bh, id) before the
+    // bucket aggregation - no payload text through the shuffle
+    assert(plan.contains("band"), plan)
+  }
+}
+
+/** Small accessor to keep PlanSpec decoupled from the SparkEntry map. */
+object SparkEntryAccess {
+  def query(name: String)
+      : (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+    graft.SparkEntry.queries(name)
+}
