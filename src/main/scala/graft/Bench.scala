@@ -54,7 +54,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000")
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000")
       .toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

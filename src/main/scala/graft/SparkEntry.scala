@@ -128,6 +128,18 @@ object SparkEntry {
         "error")
     },
 
+    // per-partition lineage rows for a pipeline run (metrics table;
+    // rows-only check — contents are asserted in GoldenE2ESpec)
+    "x_lineage" -> { (s, _) =>
+      val turns = SynthTranscripts.turns(s, numConvs = 50,
+        megaEvery = 25, megaTurns = 500)
+      val (out, acc) = Job.run(s, turns, "verify-lineage")
+      out.write.mode("overwrite").format("noop").save()
+      Job.lineage(s, acc).toDF()
+        .select("run_id", "partition_id", "rows_in", "rows_out",
+          "errors", "extractor_version")
+    },
+
     // ===== relational / span-algebra operator surface =====
     "q_agg_fold" -> { (s, dir) =>
       tbl(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")

@@ -99,9 +99,12 @@ object Extractor {
         val (kind, spans) = ToolSpans.extract(tool, payload)
         finish(kind, payload, spans, "")
       case "html" =>
-        try finish("html", payload,
-          Boilerplate.extractSpans(payload, domLimits), "")
-        catch {
+        try {
+          val (text, spans) = Boilerplate.extract(payload, domLimits)
+          // block texts are non-empty by construction, so this equals
+          // finish(...) without the re-render
+          Extraction("html", text, spans, "", Versions.ExtractorVersion)
+        } catch {
           case e: HtmlTokenizer.BoundsExceeded => fallback(payload, e)
           case e: StackOverflowError => fallback(payload,
             new Exception("stack overflow"))

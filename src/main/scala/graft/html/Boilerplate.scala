@@ -131,14 +131,18 @@ object Boilerplate {
 
     def walk(n: Dom.Node): Unit = n match {
       case Dom.Text(b, e) =>
-        val decoded = Entities.decode(raw.substring(b, e))
-        if (!Normalizer.isBlank(decoded)) {
+        // decode straight into the block buffer (no substring); roll
+        // back nodes that decode to pure whitespace (they contribute
+        // neither spans nor text — frozen BOIL-1 semantics)
+        val mark = curParts.length()
+        val nonBlank = Entities.decodeAppend(curParts, raw, b, e)
+        if (!nonBlank) curParts.setLength(mark)
+        else {
           if (curCount == 0) curPath = pathStack.mkString("/")
           curSpans += Span(b, e, "cont")
-          curParts.append(decoded)
           curCount += 1
           if (anchorDepth > 0)
-            curAnchorWords += countWords(Normalizer.wsCollapse(decoded))
+            curAnchorWords += countWords(curParts.substring(mark))
         }
       case el @ Dom.Element(tag, _, children) =>
         if (tag == "#root") children.foreach(walk)
@@ -185,10 +189,21 @@ object Boilerplate {
         if (i + 1 < blocks.length) blocks(i + 1) else emptyBlock) => b
     }
 
-  /** Full HTML main-content extraction: spans into the raw payload. */
-  def extractSpans(raw: String,
-      limits: Dom.Limits = Dom.Limits()): Vector[Span] = {
+  /** Full HTML main-content extraction: (extracted text, spans into the
+    * raw payload). The text comes from the blocks' single rendering pass
+    * and equals Render.render(raw, spans, "html") by construction
+    * (asserted by the extractor consistency tests).
+    */
+  def extract(raw: String,
+      limits: Dom.Limits = Dom.Limits()): (String, Vector[Span]) = {
     val dom = Dom.parse(raw, limits)
-    classify(segment(raw, dom)).flatMap(_.spans)
+    val content = classify(segment(raw, dom))
+    (content.iterator.map(_.text).mkString("\n"),
+      content.flatMap(_.spans))
   }
+
+  /** Spans-only variant. */
+  def extractSpans(raw: String,
+      limits: Dom.Limits = Dom.Limits()): Vector[Span] =
+    extract(raw, limits)._2
 }

@@ -40,7 +40,9 @@ object EmbeddingDedup {
         $"bucket"), "bucket")
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b", $"vec_a", $"vec_b")
-      .distinct()
+      // dedupe multi-probe hits on the slim id pair, not on the full
+      // vector payload (vecs are functionally determined by the ids)
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", Ann.cosine($"vec_a", $"vec_b"))
       .filter($"sim" >= threshold)
       .select($"id_a", $"id_b")

@@ -49,6 +49,36 @@ object StreamingJob {
       .as[Turn]
   }
 
+  /** Watermarked windowed aggregation over the extracted stream:
+    * per conversation per event-time window, turn counts / span totals /
+    * error counts — the monitoring rollup a production run feeds to its
+    * metrics table. Late data beyond the watermark is dropped (bounded
+    * state).
+    */
+  case class TurnStat(conv_id: String, ts: java.sql.Timestamp,
+      n_spans: Int, is_error: Int)
+
+  def windowedStats(turns: Dataset[Turn],
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "30 minutes")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = turns.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      it.map { t =>
+        val ex = Extractor.extract(t)
+        TurnStat(t.conv_id, t.ts, ex.spans.length,
+          if (ex.error.nonEmpty) 1 else 0)
+      }
+    }
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", windowLen),
+        $"conv_id")
+      .agg(count(lit(1)).as("n_turns"), sum($"n_spans").as("n_spans"),
+        sum($"is_error").as("n_errors"))
+  }
+
   /** Read a parquet directory as a stream of turns. */
   def readTurnStream(spark: SparkSession, inputDir: String,
       maxFilesPerTrigger: Int = 8): Dataset[Turn] = {

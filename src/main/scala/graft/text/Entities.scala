@@ -25,6 +25,38 @@ object Entities {
 
   private val maxNameLen = named.keys.map(_.length).max
 
+  /** Append the decoded form of `s[from, until)` to `sb` without
+    * allocating an intermediate substring (hot path: one call per HTML
+    * text node). Returns true iff any character was non-whitespace
+    * (fused blank check — saves a second scan).
+    */
+  def decodeAppend(sb: java.lang.StringBuilder, s: String, from: Int,
+      until: Int): Boolean = {
+    var nonBlank = false
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c != '&') {
+        sb.append(c)
+        if (!Normalizer.isWs(c)) nonBlank = true
+        i += 1
+      } else {
+        val semi = s.indexOf(';', i + 1)
+        val limit = i + 2 + math.max(maxNameLen, 8)
+        val decoded =
+          if (semi < 0 || semi >= until || semi > limit) null
+          else decodeBody(s.substring(i + 1, semi))
+        if (decoded == null) { sb.append('&'); nonBlank = true; i += 1 }
+        else {
+          sb.append(decoded)
+          if (!Normalizer.isBlank(decoded)) nonBlank = true
+          i = semi + 1
+        }
+      }
+    }
+    nonBlank
+  }
+
   /** Decode entity references in `s`. Handles `&name;`, `&#123;`,
     * `&#x1F;`/`&#X1F;`. A reference missing its terminating ';' or naming
     * an unknown entity is emitted verbatim.

@@ -59,6 +59,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked windowed aggregation over the extracted stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val agg = StreamingJob.windowedStats(mem.toDS(),
+      windowLen = "10 minutes", watermarkDelay = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    // 3 turns in one 10-min window, 1 in the next (ts step = 30s in
+    // synth; craft explicit ts)
+    // base aligned to a 10-minute epoch boundary so minutes 1/5/9 share
+    // one window and 12 falls in the next
+    def turn(idx: Int, min: Int) = graft.schema.Turn("wconv", idx,
+      "user", s"turn number $idx content", "",
+      new java.sql.Timestamp(1700000400000L + min * 60000L))
+    mem.addData(turn(0, 1), turn(1, 5), turn(2, 9), turn(3, 12))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT n_turns, n_spans FROM win_out ORDER BY window.start")
+      .collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 1L))
+    assert(rows.forall(_.getLong(1) >= 1L))
+  }
+
   test("cross-batch dedupe with watermark keeps one row per turn") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
