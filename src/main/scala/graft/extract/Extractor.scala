@@ -91,29 +91,34 @@ object Extractor {
 
   private val domLimits = Dom.Limits()
 
-  /** Extract one turn. Never throws. */
+  /** Extract one turn. NEVER throws: any failure (tokenizer bounds,
+    * malformed JSON, or an unforeseen bug on a hostile payload) becomes
+    * an error-flagged plain-text fallback — at 10^12 turns a
+    * one-in-a-billion payload must not kill a task (the reference's
+    * fallback-to-NOP pattern, vkit/element/polygon.py:569-577).
+    */
   def extract(role: String, tool: String, text: String): Extraction = {
     val payload = if (text == null) "" else text
-    route(role, if (tool == null) "" else tool, payload) match {
-      case "tool" =>
-        val (kind, spans) = ToolSpans.extract(tool, payload)
-        finish(kind, payload, spans, "")
-      case "html" =>
-        try {
-          val (text, spans) = Boilerplate.extract(payload, domLimits)
+    try {
+      route(role, if (tool == null) "" else tool, payload) match {
+        case "tool" =>
+          val (kind, spans) = ToolSpans.extract(tool, payload)
+          finish(kind, payload, spans, "")
+        case "html" =>
+          val (extracted, spans) = Boilerplate.extract(payload, domLimits)
           // block texts are non-empty by construction, so this equals
           // finish(...) without the re-render
-          Extraction("html", text, spans, "", Versions.ExtractorVersion)
-        } catch {
-          case e: HtmlTokenizer.BoundsExceeded => fallback(payload, e)
-          case e: StackOverflowError => fallback(payload,
-            new Exception("stack overflow"))
-        }
-      case "pdf" =>
-        try finish("pdf", payload, XyCut.extractSpans(payload), "")
-        catch { case e: XyCut.PdfParseError => fallback(payload, e) }
-      case _ =>
-        finish("plain", payload, plainSpans(payload), "")
+          Extraction("html", extracted, spans, "",
+            Versions.ExtractorVersion)
+        case "pdf" =>
+          finish("pdf", payload, XyCut.extractSpans(payload), "")
+        case _ =>
+          finish("plain", payload, plainSpans(payload), "")
+      }
+    } catch {
+      case e: StackOverflowError =>
+        fallback(payload, new Exception("stack overflow"))
+      case scala.util.control.NonFatal(e) => fallback(payload, e)
     }
   }
 

@@ -51,27 +51,25 @@ object Dom {
     val children = Vector.newBuilder[Node]
   }
 
-  /** Build a DOM forest from tokens. Always returns a single synthetic
-    * root Element("#root").
-    */
-  def build(tokens: Vector[Token],
-      limits: Limits = Limits()): Element = {
-    var nodes = 0
-    def countNode(): Unit = {
+  /** Incremental DOM builder: feed tokens, then `finish()`. */
+  final class Builder(limits: Limits) extends (Token => Unit) {
+    private var nodes = 0
+    private val stack = new scala.collection.mutable.ArrayBuffer[Open]
+    stack += new Open("#root", Nil)
+
+    private def countNode(): Unit = {
       nodes += 1
       if (nodes > limits.maxNodes)
         throw new BoundsExceeded("maxNodes")
     }
-    val stack = new scala.collection.mutable.ArrayBuffer[Open]
-    stack += new Open("#root", Nil)
 
-    def closeTop(): Unit = {
+    private def closeTop(): Unit = {
       val top = stack.remove(stack.length - 1)
       stack.last.children += Element(top.tag, top.attrs,
         top.children.result())
     }
 
-    for (tok <- tokens) tok match {
+    def apply(tok: Token): Unit = tok match {
       case TText(b, e) =>
         countNode()
         stack.last.children += Text(b, e)
@@ -95,11 +93,28 @@ object Dom {
         while (idx > 0 && stack(idx).tag != name) idx -= 1
         if (idx > 0) while (stack.length > idx) closeTop()
     }
-    while (stack.length > 1) closeTop()
-    val root = stack.head
-    Element("#root", Nil, root.children.result())
+
+    def finish(): Element = {
+      while (stack.length > 1) closeTop()
+      Element("#root", Nil, stack.head.children.result())
+    }
   }
 
-  def parse(s: String, limits: Limits = Limits()): Element =
-    build(HtmlTokenizer.tokenize(s), limits)
+  /** Build a DOM forest from tokens. Always returns a single synthetic
+    * root Element("#root").
+    */
+  def build(tokens: Vector[Token], limits: Limits = Limits()): Element = {
+    val b = new Builder(limits)
+    tokens.foreach(b)
+    b.finish()
+  }
+
+  /** Streaming parse: tokenizer feeds the DOM builder directly — no
+    * intermediate token vector (hot path).
+    */
+  def parse(s: String, limits: Limits = Limits()): Element = {
+    val b = new Builder(limits)
+    HtmlTokenizer.scan(s)(b)
+    b.finish()
+  }
 }

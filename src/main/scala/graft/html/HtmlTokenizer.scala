@@ -33,11 +33,21 @@ object HtmlTokenizer {
     */
   def tokenize(s: String, maxTokens: Int = 262144): Vector[Token] = {
     val out = Vector.newBuilder[Token]
+    scan(s, maxTokens)(out += _)
+    out.result()
+  }
+
+  /** Streaming form: emit tokens to `sink` without materializing a
+    * token vector (the DOM builder consumes this directly — one less
+    * allocation pass per turn on the hot path).
+    */
+  def scan(s: String, maxTokens: Int = 262144)(sink: Token => Unit)
+      : Unit = {
     var count = 0
     def emit(t: Token): Unit = {
       count += 1
       if (count > maxTokens) throw new BoundsExceeded("maxTokens")
-      out += t
+      sink(t)
     }
     val n = s.length
     var i = 0
@@ -101,7 +111,6 @@ object HtmlTokenizer {
         }
       }
     }
-    out.result()
   }
 
   @inline private def isAsciiLetter(c: Char): Boolean =

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans of the key pipelines to stdout (the
+  * source for PLANS.md). sbt "Test/runMain graft.DumpPlans"
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    def dump(title: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $title =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(
+          "formatted")))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-plans")
+      .toString
+    spark.createDataset(graft.synth.GoldenData.inputTurns)
+      .write.mode("overwrite").parquet(dir)
+    val turns = spark.read.parquet(dir).as[graft.schema.Turn]
+
+    dump("extraction pipeline (ordered / range path)",
+      graft.pipe.Job.run(spark, turns, "plans")._1.toDF())
+    dump("extraction pipeline (hash path)",
+      graft.pipe.Job.run(spark, turns, "plans",
+        orderOutput = false)._1.toDF())
+    dump("q_broadcast_join", SparkEntry.queries("q_broadcast_join")(
+      spark, sf))
+    dump("q_interval_join", SparkEntry.queries("q_interval_join")(
+      spark, sf))
+    dump("x_html_docs (oracle-checked end-to-end extraction)",
+      SparkEntry.queries("x_html_docs")(spark, sf))
+    spark.stop()
+  }
+}
