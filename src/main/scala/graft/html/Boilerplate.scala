@@ -193,11 +193,14 @@ object Boilerplate {
     * raw payload). The text comes from the blocks' single rendering pass
     * and equals Render.render(raw, spans, "html") by construction
     * (asserted by the extractor consistency tests).
+    *
+    * Hot path: one streaming pass (tokenizer -> StreamSegmenter), no
+    * DOM materialization; StreamSegmenter ≡ segment(Dom.parse(raw)) is
+    * property-tested in BoilerplateSpec.
     */
   def extract(raw: String,
       limits: Dom.Limits = Dom.Limits()): (String, Vector[Span]) = {
-    val dom = Dom.parse(raw, limits)
-    val content = classify(segment(raw, dom))
+    val content = classify(StreamSegmenter.segment(raw, limits))
     (content.iterator.map(_.text).mkString("\n"),
       content.flatMap(_.spans))
   }

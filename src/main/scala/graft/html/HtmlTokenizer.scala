@@ -37,12 +37,14 @@ object HtmlTokenizer {
     out.result()
   }
 
+  private val emptyAttrs: List[(String, String)] = Nil
+
   /** Streaming form: emit tokens to `sink` without materializing a
     * token vector (the DOM builder consumes this directly — one less
     * allocation pass per turn on the hot path).
     */
-  def scan(s: String, maxTokens: Int = 262144)(sink: Token => Unit)
-      : Unit = {
+  def scan(s: String, maxTokens: Int = 262144,
+      keepAttrs: Boolean = true)(sink: Token => Unit): Unit = {
     var count = 0
     def emit(t: Token): Unit = {
       count += 1
@@ -99,7 +101,7 @@ object HtmlTokenizer {
               val end = if (gt < 0) n else gt + 1
               emit(TSkip(lt, end)); i = end
             } else if (isAsciiLetter(c)) {
-              val tok = readStartTag(s, lt)
+              val tok = readStartTag(s, lt, keepAttrs)
               emit(tok)
               i = tok.end
               if (!tok.selfClosing && rawTextTags.contains(tok.name))
@@ -155,8 +157,12 @@ object HtmlTokenizer {
     (name, if (j < n) j + 1 else n)
   }
 
-  /** Parse a start tag at `lt` ('<' + letter guaranteed). */
-  private def readStartTag(s: String, lt: Int): TStart = {
+  /** Parse a start tag at `lt` ('<' + letter guaranteed). `keepAttrs =
+    * false` skips attribute materialization (segmentation never reads
+    * them) while still honoring quoting for the tag-end scan.
+    */
+  private def readStartTag(s: String, lt: Int,
+      keepAttrs: Boolean = true): TStart = {
     val n = s.length
     var j = lt + 1
     val nameStart = j
@@ -179,27 +185,30 @@ object HtmlTokenizer {
           val aStart = j
           while (j < n && !isHtmlWs(s.charAt(j)) && s.charAt(j) != '=' &&
             s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-          val aName = s.substring(aStart, j).toLowerCase
+          val aEnd = j
           while (j < n && isHtmlWs(s.charAt(j))) j += 1
-          var aVal = ""
+          var vStart = -1
+          var vEnd = -1
           if (j < n && s.charAt(j) == '=') {
             j += 1
             while (j < n && isHtmlWs(s.charAt(j))) j += 1
             if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
               val q = s.charAt(j)
               j += 1
-              val vStart = j
+              vStart = j
               while (j < n && s.charAt(j) != q) j += 1
-              aVal = s.substring(vStart, j)
+              vEnd = j
               if (j < n) j += 1
             } else {
-              val vStart = j
+              vStart = j
               while (j < n && !isHtmlWs(s.charAt(j)) && s.charAt(j) != '>')
                 j += 1
-              aVal = s.substring(vStart, j)
+              vEnd = j
             }
           }
-          if (aName.nonEmpty) attrs += ((aName, aVal))
+          if (keepAttrs && aEnd > aStart)
+            attrs += ((s.substring(aStart, aEnd).toLowerCase,
+              if (vStart < 0) "" else s.substring(vStart, vEnd)))
       }
     }
     TStart(name, attrs.result(), selfClosing, lt, j)

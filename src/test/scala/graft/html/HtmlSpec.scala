@@ -190,6 +190,32 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(graft.text.SpanOps.invariantsHold(spans, html.length))
   }
 
+  test("property: streaming segmenter equals DOM-walk segmentation") {
+    val r = new graft.synth.SynthTranscripts.Rng(99)
+    val adversarial = Seq(
+      "<p/>text after self-closed block<p>real para here</p>",
+      "<div><script>var a = '<p>x</p>';</script>content words</div>",
+      "<a href='/'><div>block inside anchor</div></a>",
+      "<ul><li>one<li>two<li>three</ul>trailing",
+      "</p>orphan end<p>then content",
+      "<p>a<p>b<p>c", // auto-close chain
+      "<nav><p>skipped block</p></nav><p>kept</p>",
+      "<br><br><hr>between breaks",
+      "<P CLASS='X'>uppercase</P>",
+      "<div>unclosed <b>bold <i>italic",
+      "text&amp;<p>more&#65;here</p>",
+      "<textarea><p>not parsed</p></textarea>after",
+      "")
+    val samples = adversarial ++
+      (0 until 300).map(_ => graft.synth.SynthTranscripts.htmlPayload(r))
+    for (html <- samples) {
+      val viaDom = Boilerplate.segment(html, Dom.parse(html))
+      val viaStream = StreamSegmenter.segment(html)
+      assert(viaDom == viaStream,
+        s"segmentation mismatch for: ${html.take(120)}")
+    }
+  }
+
   test("tag path trie matches nested rules") {
     val t = new Boilerplate.TagPathTrie
     t.add("div/ul")
