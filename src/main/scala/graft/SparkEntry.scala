@@ -128,6 +128,29 @@ object SparkEntry {
         "error")
     },
 
+    // composed training-data pipeline: extract -> quality-score the
+    // extracted text -> exact-dedup -> per-extractor rollup (rows-only;
+    // each stage is oracle-checked individually)
+    "x_pipeline_e2e" -> { (s, _) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val turns = SynthTranscripts.turns(s, numConvs = 150,
+        megaEvery = 75, megaTurns = 600)
+      val (out, _) = Job.run(s, turns, "e2e", orderOutput = false)
+      val scored = out.toDF()
+        .filter($"extracted_text" =!= "")
+        .withColumn("quality",
+          graft.ops.TextStats.qualityScore($"extracted_text"))
+        .withColumn("dup_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5($"extracted_text"))
+            .orderBy($"conv_id", $"turn_idx")))
+      scored.filter($"dup_rank" === 1 && $"quality" >= 0.5)
+        .groupBy($"extractor")
+        .agg(count(lit(1)).as("kept"),
+          round(avg($"quality"), 2).as("avg_quality"))
+    },
+
     // per-partition lineage rows for a pipeline run (metrics table;
     // rows-only check — contents are asserted in GoldenE2ESpec)
     "x_lineage" -> { (s, _) =>
