@@ -311,7 +311,8 @@ object SparkEntry {
         .select($"vec_id".as("id"), $"embedding".as("vec"))
       val twins = emb.select(($"id" + 1000000L).as("id"),
         transform($"vec", x => x * lit(1.01f)).as("vec"))
-      graft.ops.EmbeddingDedup.nearDuplicates(s, emb.union(twins))
+      graft.ops.EmbeddingDedup.nearDuplicates(s, emb.union(twins),
+        dim = 64)
     },
 
     "t_dedup_simhash" -> { (s, dir) =>
@@ -334,11 +335,25 @@ object SparkEntry {
 
     "t_ann_lsh" -> { (s, dir) =>
       import s.implicits._
+      // corpus = embeddings + 3 colinear twins per query vector; the
+      // true top-3 of each query are its twins (cosine ~1.0 vs ~0.5 for
+      // random 64-dim neighbors), so the DuckDB brute-force oracle
+      // independently checks that LSH candidates recover the exact
+      // top-k — the regime hyperplane LSH is for (near neighbors)
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+      val base = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
       val queries = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      graft.ops.Ann.lshTopK(s, corpus, queries, k = 3)
+      val twins = emb.filter($"vec_id" < 8)
+        .select($"vec_id", $"embedding",
+          explode(array(lit(1), lit(2), lit(3))).as("sc"))
+        .select(($"vec_id" * 10 + $"sc" + 1000000L).as("id"),
+          transform($"embedding",
+            x => x * (lit(1.0) + $"sc".cast("double") / 100.0)
+              .cast("float")).as("vec"))
+      graft.ops.Ann.lshTopK(s, base.union(twins), queries, k = 3,
+        dim = 64)
+        .select($"qid", $"id")
     },
 
     "t_quality" -> { (s, dir) =>
@@ -471,7 +486,8 @@ object SparkEntry {
       ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, " +
         "text || ' graft dedup tail marker' FROM documents), " +
-        "toks AS (SELECT id, string_split(text, ' ') AS ws FROM corpus), " +
+        "toks AS (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
         "sh AS (SELECT DISTINCT id, " +
         "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
         "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks)), " +
@@ -508,6 +524,22 @@ object SparkEntry {
         "SELECT a.id AS id_a, b.id AS id_b FROM corpus a JOIN corpus b " +
         "ON a.id < b.id " +
         "WHERE list_cosine_similarity(a.vec, b.vec) >= 0.95"),
+
+    "t_ann_lsh" ->
+      ("WITH twins AS (SELECT vec_id * 10 + s + 1000000 AS id, " +
+        "list_transform(embedding, x -> x * (1.0 + s/100.0)::FLOAT) " +
+        "AS vec FROM embeddings CROSS JOIN " +
+        "(SELECT unnest([1,2,3]) AS s) sc WHERE vec_id < 8), " +
+        "corpus AS (SELECT vec_id AS id, embedding AS vec " +
+        "FROM embeddings UNION ALL SELECT id, vec FROM twins), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qvec " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.qid, c.id, " +
+        "list_cosine_similarity(q.qvec, c.vec) AS sim " +
+        "FROM corpus c, q WHERE c.id <> q.qid) " +
+        "SELECT qid, id FROM (SELECT qid, id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
+        "FROM scored) WHERE rank <= 3"),
 
     "t_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qvec " +

@@ -10,9 +10,19 @@ import org.apache.spark.sql.expressions.Window
   *   aggregate) — no UDF, stays inside WholeStageCodegen.
   * - `bruteForceTopK`: exact baseline — broadcast the (small) query set,
   *   score the corpus in one narrow pass, per-query top-k via window.
-  * - `lshTopK`: scale path — random-hyperplane sign buckets (deterministic
-  *   seed), equality-join on bucket, exact rerank inside buckets with
-  *   multi-probe (all 1-bit flips) so recall survives plane boundaries.
+  * - `lshTopK`: scale path — multi-table random-hyperplane LSH
+  *   (OR-amplification across `nTables` independent tables of `nPlanes`
+  *   hyperplanes each, the same band pattern as MinHash LSH) with 1-bit
+  *   multi-probe on the query side, exact cosine rerank on candidates.
+  *
+  * Scale design: bucket keys are (table, bucket) pairs — 2^nPlanes
+  * buckets PER TABLE (e.g. 16 planes -> 65k buckets/table), so bucket
+  * occupancy stays ~N/2^nPlanes and the within-bucket candidate join
+  * never degenerates into a quadratic scan; recall is recovered by
+  * OR-ing `nTables` tables plus multi-probe, not by coarser buckets.
+  * Vectors are NOT carried through the bucket shuffle — only slim
+  * (table, bucket, id) rows move; vectors are joined back for the
+  * candidate set alone.
   */
 object Ann {
 
@@ -44,7 +54,7 @@ object Ann {
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim, N(0,1)-ish via
-    * SplitMix64 -> uniform sum (CLT approximation is fine for LSH).
+    * SplitMix64 -> Box-Muller.
     */
   def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(nPlanes) { p =>
@@ -57,6 +67,14 @@ object Ann {
           math.cos(2.0 * math.Pi * u2)
       }
     }
+
+  /** `nTables` independent tables of `nPlanes` planes each. */
+  def planeTables(nTables: Int, nPlanes: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val all = planes(nTables * nPlanes, dim, seed)
+    Array.tabulate(nTables)(t =>
+      all.slice(t * nPlanes, (t + 1) * nPlanes))
+  }
 
   def signBucket(vec: Seq[Float], pl: Array[Array[Double]]): Int = {
     var bucket = 0
@@ -74,30 +92,44 @@ object Ann {
     bucket
   }
 
-  /** LSH-bucketed ANN: candidates = corpus rows sharing the query's
-    * bucket or any 1-bit-flip neighbor bucket (multi-probe), exact
-    * cosine rerank, top-k. Same output shape as bruteForceTopK.
+  /** LSH-bucketed ANN: corpus rows hash to (table, bucket) per table;
+    * each query probes its own bucket plus all 1-bit flips in every
+    * table; candidates rerank by exact cosine; top-k per query.
+    * Same output shape as bruteForceTopK. `dim` is passed explicitly so
+    * the plan stays action-free.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+      k: Int, dim: Int, nTables: Int = 4, nPlanes: Int = 16,
+      seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val dim = corpus.select(size($"vec")).first().getInt(0)
-    val pl = spark.sparkContext.broadcast(planes(nPlanes, dim, seed))
+    val pl = spark.sparkContext.broadcast(
+      planeTables(nTables, nPlanes, dim, seed))
 
-    val corpusB = corpus.as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, signBucket(v, pl.value)) }
-      .toDF("id", "vec", "bucket")
+    // slim (tbl, bucket, id) rows — vectors stay behind
+    val corpusRows = corpus.as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        pl.value.iterator.zipWithIndex.map { case (t, ti) =>
+          (ti, signBucket(v, t), id)
+        }
+      }.toDF("tbl", "bucket", "id")
 
-    val queryB = queries.as[(Long, Seq[Float])]
+    val queryProbes = queries.as[(Long, Seq[Float])]
       .flatMap { case (qid, v) =>
-        val b = signBucket(v, pl.value)
-        // multi-probe: own bucket + all 1-bit flips
-        (Seq(b) ++ (0 until pl.value.length).map(i => b ^ (1 << i)))
-          .distinct.map(pb => (qid, v, pb))
-      }.toDF("qid", "qvec", "bucket")
+        pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
+          val b = signBucket(v, t)
+          (Seq(b) ++ (0 until nPlanes).map(i => b ^ (1 << i)))
+            .distinct.map(pb => (ti, pb, qid))
+        }
+      }.toDF("tbl", "bucket", "qid")
 
-    val scored = corpusB.join(broadcast(queryB), "bucket")
+    val cand = corpusRows.join(broadcast(queryProbes),
+        Seq("tbl", "bucket"))
       .filter($"id" =!= $"qid")
+      .select($"qid", $"id").distinct()
+
+    // vectors joined back for candidates only
+    val scored = corpus.join(cand, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
       .withColumn("sim", cosine($"qvec", $"vec"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
     scored.withColumn("rank", row_number().over(w))

@@ -3,48 +3,105 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Embedding-cosine near-duplicate detection: random-hyperplane LSH
-  * buckets (deterministic planes) + 1-bit multi-probe + exact cosine
-  * verification — the scale path for "same content, same embedding"
-  * dedup. Exact cosine is the final arbiter (LSH = recall only).
+/** Embedding-cosine near-duplicate detection: multi-table random-
+  * hyperplane LSH (OR-amplification, same band pattern as MinHash) +
+  * 1-bit multi-probe + exact cosine verification — the scale path for
+  * "same content, same embedding" dedup. Exact cosine is the final
+  * arbiter (LSH = recall only).
   *
-  * Multi-probe note: a pair at cosine ~0.95 sits within ~18 degrees;
-  * with 8 planes the expected sign-flips is ~0.8, so probing all 1-bit
-  * neighbor buckets recovers the dominant miss mode; raise probes or
-  * lower planes for higher-recall regimes.
+  * Scale design:
+  *  - bucket keys are (table, bucket): 2^nPlanes buckets PER TABLE
+  *    (16 planes -> 65k/table), so occupancy ~ N/2^nPlanes — the
+  *    within-bucket pair expansion never approaches a quadratic scan;
+  *  - only slim (tbl, bucket, id, home) rows shuffle; vectors are
+  *    joined back for candidate pairs alone;
+  *  - bucket sizes are measured with a count-only pass first and
+  *    buckets over `bucketCap` are pruned BEFORE any collect_list
+  *    (see MinHashDedup — `oversizedBuckets` is the recall ledger);
+  *  - a pair qualifies when the two ids share a (table, bucket) key
+  *    and at least one side is a HOME row (own bucket, not a probe) —
+  *    i.e. bucket Hamming distance <= 1 in some table.
+  *
+  * Recall: a pair at cosine 0.95 (~18 deg) flips each plane w.p.
+  * theta/pi ~ 0.1; P(Hamming<=1 over 16 planes) ~ 0.51 per table,
+  * 1 - 0.49^4 ~ 0.94 over 4 tables. Raise nTables for higher-recall
+  * regimes; identical/colinear vectors are always found (0 flips).
   */
 object EmbeddingDedup {
 
   /** Input: (id: Long, vec: array<float>). Output (id_a, id_b) pairs
-    * with cosine >= threshold, id_a < id_b.
+    * with cosine >= threshold, id_a < id_b. `dim` is passed explicitly
+    * so the plan stays action-free.
     */
-  def nearDuplicates(spark: SparkSession, corpus: DataFrame,
-      threshold: Double = 0.95, nPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
+  def nearDuplicates(spark: SparkSession, corpus: DataFrame, dim: Int,
+      threshold: Double = 0.95, nTables: Int = 4, nPlanes: Int = 16,
+      bucketCap: Int = 256, seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val dim = corpus.select(size($"vec")).first().getInt(0)
-    val pl = spark.sparkContext.broadcast(Ann.planes(nPlanes, dim, seed))
+    val pl = spark.sparkContext.broadcast(
+      Ann.planeTables(nTables, nPlanes, dim, seed))
 
-    val bucketed = corpus.as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, Ann.signBucket(v, pl.value)) }
-      .toDF("id", "vec", "bucket")
-
-    val probes = corpus.as[(Long, Seq[Float])]
+    // slim rows: home bucket + all 1-bit probe buckets per table
+    val rows = corpus.as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
-        val b = Ann.signBucket(v, pl.value)
-        (Seq(b) ++ (0 until nPlanes).map(i => b ^ (1 << i)))
-          .distinct.map(pb => (id, v, pb))
-      }.toDF("id_a", "vec_a", "bucket")
+        pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
+          val b = Ann.signBucket(v, t)
+          Iterator((ti, b, id, true)) ++
+            (0 until nPlanes).iterator.map(i => (ti, b ^ (1 << i), id,
+              false))
+        }
+      }.toDF("tbl", "bucket", "id", "home")
 
-    probes.join(bucketed.select($"id".as("id_b"), $"vec".as("vec_b"),
-        $"bucket"), "bucket")
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"vec_a", $"vec_b")
-      // dedupe multi-probe hits on the slim id pair, not on the full
-      // vector payload (vecs are functionally determined by the ids)
-      .dropDuplicates("id_a", "id_b")
+    // count pass first: degenerate buckets pruned before materializing
+    val keptKeys = rows.groupBy($"tbl", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1 && $"n" <= bucketCap)
+      .select($"tbl", $"bucket")
+
+    val buckets = rows.join(keptKeys, Seq("tbl", "bucket"))
+      .groupBy($"tbl", $"bucket")
+      .agg(collect_list(struct($"id", $"home")).as("xs"))
+
+    // pairs need >= 1 home side (probe-probe would mean Hamming 2)
+    val pairs = buckets.select(explode(expr(
+      """filter(
+           flatten(transform(xs, (x, i) ->
+             transform(slice(xs, i + 2, size(xs)), y ->
+               struct(least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+                      x.home OR y.home AS anyhome)))),
+           p -> p.a <> p.b AND p.anyhome)""")).as("p"))
+      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
+      .distinct()
+
+    // exact verification on candidates only
+    val candIds = pairs
+      .select(explode(array($"id_a", $"id_b")).as("id")).distinct()
+    val vecs = corpus.join(candIds, Seq("id"), "left_semi")
+
+    pairs
+      .join(vecs.select($"id".as("id_a"), $"vec".as("vec_a")), "id_a")
+      .join(vecs.select($"id".as("id_b"), $"vec".as("vec_b")), "id_b")
       .withColumn("sim", Ann.cosine($"vec_a", $"vec_b"))
       .filter($"sim" >= threshold)
       .select($"id_a", $"id_b")
+  }
+
+  /** Buckets pruned by the cap — the recall-loss ledger. */
+  def oversizedBuckets(spark: SparkSession, corpus: DataFrame, dim: Int,
+      nTables: Int = 4, nPlanes: Int = 16, bucketCap: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val pl = spark.sparkContext.broadcast(
+      Ann.planeTables(nTables, nPlanes, dim, seed))
+    corpus.as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
+          val b = Ann.signBucket(v, t)
+          Iterator((ti, b, id, true)) ++
+            (0 until nPlanes).iterator.map(i => (ti, b ^ (1 << i), id,
+              false))
+        }
+      }.toDF("tbl", "bucket", "id", "home")
+      .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("n"))
+      .filter($"n" > bucketCap)
   }
 }

@@ -7,17 +7,26 @@ import org.apache.spark.sql.functions._
   * LSH banding -> bucket join -> EXACT Jaccard verification.
   *
   * Scale design (the point at 100 TB):
-  *  - signatures are computed in one narrow pass (mapPartitions-free:
-  *    a deterministic UDF-less path would need a custom Expression; we
-  *    use a typed map once per doc, not per shingle row);
+  *  - signatures are computed in one narrow pass (a typed map once per
+  *    doc, not per shingle row);
   *  - candidate generation shuffles only (band_idx, band_hash, id) —
   *    slim rows — and self-joins within buckets, never the corpus;
-  *  - buckets larger than `bucketCap` are dropped with a count (they are
-  *    degenerate content; the cap bounds the quadratic blowup the same
-  *    way the reference caps retry loops, page_cropping.py:266);
-  *  - exact verification joins text back only for candidate pairs
-  *    (tiny vs corpus) and is the final arbiter: LSH affects recall
-  *    only, never precision.
+  *  - bucket sizes are measured FIRST with a count-only aggregation
+  *    (constant memory per group); buckets larger than `bucketCap` are
+  *    pruned BEFORE any collect_list materializes them, so a degenerate
+  *    bucket (millions of near-empty docs sharing a band hash) never
+  *    builds a multi-million-element aggregation buffer. Dropped buckets
+  *    are observable via `oversizedBuckets` (same inputs -> the pruned
+  *    (band, bh, n) keys) for lineage/recall accounting;
+  *  - exact verification recomputes shingles ONLY for docs that appear
+  *    in a candidate pair (semi-join on id), so corpus-wide shingle
+  *    sets (~8x text size for char-8-grams) never shuffle;
+  *  - exact Jaccard is the final arbiter: LSH affects recall only,
+  *    never precision.
+  *
+  * Degenerate-input rule (mirrored by the DuckDB oracles): a doc with
+  * fewer than k tokens (word shingles) or fewer than n chars (char
+  * n-grams) has NO shingles and never enters banding or pairing.
   *
   * Determinism: hash mixing is SplitMix64-style from a fixed seed — no
   * randomness at runtime (vkit's SeedSequence contract,
@@ -45,12 +54,12 @@ object MinHashDedup {
   }
 
   /** Char n-grams as 64-bit hashes (set semantics) — the n-gram
-    * Jaccard flavor of near-dup detection.
+    * Jaccard flavor of near-dup detection. Texts shorter than n have
+    * no shingles (degenerate-input rule).
     */
   def charNgrams(text: String, n: Int): Set[Long] = {
-    if (text.length < n) {
-      if (text.isEmpty) Set.empty else Set(hashString(text))
-    } else {
+    if (text.length < n) Set.empty
+    else {
       val out = Set.newBuilder[Long]
       var i = 0
       while (i + n <= text.length) {
@@ -61,12 +70,13 @@ object MinHashDedup {
     }
   }
 
-  /** Word k-shingles as 64-bit hashes (set semantics). */
+  /** Word k-shingles as 64-bit hashes (set semantics). Texts with fewer
+    * than k (non-empty) tokens have no shingles (degenerate-input rule).
+    */
   def shingles(text: String, k: Int): Set[Long] = {
     val ws = text.split(' ').filter(_.nonEmpty)
-    if (ws.length < k) {
-      if (ws.isEmpty) Set.empty else Set(hashString(ws.mkString(" ")))
-    } else
+    if (ws.length < k) Set.empty
+    else
       (0 to ws.length - k).map(i =>
         hashString(ws.slice(i, i + k).mkString(" "))).toSet
   }
@@ -91,6 +101,48 @@ object MinHashDedup {
     inter.toDouble / (a.size + b.size - inter)
   }
 
+  /** (band_idx, band_hash, id) rows — slim shuffle keys; docs with no
+    * shingles emit nothing.
+    */
+  private def bandRows(spark: SparkSession, docs: Dataset[(Long, String)],
+      mk: String => Set[Long], numPerm: Int, bands: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    val rows = numPerm / bands
+    docs.flatMap { case (id, text) =>
+      val sh = mk(text)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = signature(sh, numPerm, seed)
+        (0 until bands).iterator.map { b =>
+          var h = 0xCBF29CE484222325L
+          var i = b * rows
+          while (i < (b + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
+          (b, h, id)
+        }
+      }
+    }.toDF("band", "bh", "id")
+  }
+
+  private def resolveShingler(shingler: String => Set[Long],
+      shingleK: Int): String => Set[Long] =
+    if (shingler != null) shingler else shingles(_, shingleK)
+
+  /** Buckets pruned by the cap, i.e. (band, bh, n) with n > bucketCap —
+    * the recall-loss ledger for degenerate content. Count/inspect this
+    * alongside `nearDuplicates` on the same inputs.
+    */
+  def oversizedBuckets(spark: SparkSession, docs: Dataset[(Long, String)],
+      shingleK: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      bucketCap: Int = 64,
+      shingler: String => Set[Long] = null): DataFrame = {
+    import spark.implicits._
+    bandRows(spark, docs, resolveShingler(shingler, shingleK),
+      numPerm, bands, 42L)
+      .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
+      .filter($"n" > bucketCap)
+  }
+
   /** Candidate pairs with exact Jaccard >= threshold.
     *
     * Input: (id: Long, text: String). Output: (id_a, id_b, jaccard)
@@ -103,25 +155,21 @@ object MinHashDedup {
       shingler: String => Set[Long] = null): DataFrame = {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rows = numPerm / bands
     val seed = 42L
-    val mk: String => Set[Long] =
-      if (shingler != null) shingler else shingles(_, shingleK)
+    val mk = resolveShingler(shingler, shingleK)
 
-    // (band_idx, band_hash, id) — slim shuffle rows
-    val bandRows = docs.flatMap { case (id, text) =>
-      val sig = signature(mk(text), numPerm, seed)
-      (0 until bands).iterator.map { b =>
-        var h = 0xCBF29CE484222325L
-        var i = b * rows
-        while (i < (b + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
-        (b, h, id)
-      }
-    }.toDF("band", "bh", "id")
+    val bandsDf = bandRows(spark, docs, mk, numPerm, bands, seed)
 
-    val buckets = bandRows.groupBy($"band", $"bh")
-      .agg(collect_list($"id").as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= bucketCap)
+    // count pass first: a degenerate bucket is pruned as one (band, bh,
+    // n) row, never materialized as a list
+    val keptKeys = bandsDf.groupBy($"band", $"bh")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1 && $"n" <= bucketCap)
+      .select($"band", $"bh")
+
+    val buckets = bandsDf.join(keptKeys, Seq("band", "bh"))
+      .groupBy($"band", $"bh")
+      .agg(collect_list($"id").as("ids")) // size bounded by bucketCap
 
     val pairs = buckets.select(explode(expr(
       """filter(
@@ -132,10 +180,16 @@ object MinHashDedup {
       .select($"p.a".as("id_a"), $"p.b".as("id_b"))
       .distinct()
 
-    // exact verification: join shingle sets back for candidates only
-    val sh = docs.map { case (id, text) =>
-      (id, mk(text).toSeq)
-    }.toDF("id", "sh")
+    // exact verification: recompute shingles ONLY for candidate docs
+    // (semi-join on id; AQE broadcasts the candidate set when small),
+    // so corpus-wide shingle sets never shuffle
+    val candIds = pairs
+      .select(explode(array($"id_a", $"id_b")).as("id")).distinct()
+    val sh = docs.toDF("id", "text")
+      .join(candIds, Seq("id"), "left_semi")
+      .as[(Long, String)]
+      .map { case (id, text) => (id, mk(text).toSeq) }
+      .toDF("id", "sh")
 
     pairs
       .join(sh.withColumnRenamed("id", "id_a")

@@ -34,28 +34,51 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  private def blockRows(spark: SparkSession,
+      docs: Dataset[(Long, String)], nBlocks: Int): DataFrame = {
+    import spark.implicits._
+    val width = 64 / nBlocks
+    docs.map { case (id, t) => (id, simhash64(t)) }
+      .flatMap { case (id, h) =>
+        (0 until nBlocks).iterator.map { b =>
+          val lo = b * width
+          val w = if (b == nBlocks - 1) 64 - lo else width
+          val mask = if (w == 64) -1L else (1L << w) - 1L
+          (b, (h >>> lo) & mask, id, h)
+        }
+      }.toDF("blk", "bv", "id", "h")
+  }
+
+  /** Buckets pruned by the cap — the recall-loss ledger (see
+    * MinHashDedup.oversizedBuckets).
+    */
+  def oversizedBuckets(spark: SparkSession, docs: Dataset[(Long, String)],
+      maxDist: Int = 3, bucketCap: Int = 64): DataFrame = {
+    import spark.implicits._
+    blockRows(spark, docs, maxDist + 1)
+      .groupBy($"blk", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" > bucketCap)
+  }
+
   /** Pairs with Hamming(simhash) <= maxDist; id_a < id_b. */
   def nearDuplicates(spark: SparkSession, docs: Dataset[(Long, String)],
       maxDist: Int = 3, bucketCap: Int = 64): DataFrame = {
     import spark.implicits._
     val nBlocks = maxDist + 1
-    val width = 64 / nBlocks
 
-    val hashes = docs.map { case (id, t) => (id, simhash64(t)) }
-      .toDF("id", "h")
+    val blocks = blockRows(spark, docs, nBlocks)
 
-    val blocks = hashes.as[(Long, Long)].flatMap { case (id, h) =>
-      (0 until nBlocks).iterator.map { b =>
-        val lo = b * width
-        val w = if (b == nBlocks - 1) 64 - lo else width
-        val mask = if (w == 64) -1L else (1L << w) - 1L
-        (b, (h >>> lo) & mask, id, h)
-      }
-    }.toDF("blk", "bv", "id", "h")
+    // count pass first, so a degenerate bucket (e.g. millions of docs
+    // sharing a simhash block) is pruned as one (blk, bv, n) row and
+    // never materialized in a collect_list aggregation buffer
+    val keptKeys = blocks.groupBy($"blk", $"bv")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1 && $"n" <= bucketCap)
+      .select($"blk", $"bv")
 
-    val buckets = blocks.groupBy($"blk", $"bv")
-      .agg(collect_list(struct($"id", $"h")).as("xs"))
-      .filter(size($"xs") > 1 && size($"xs") <= bucketCap)
+    val buckets = blocks.join(keptKeys, Seq("blk", "bv"))
+      .groupBy($"blk", $"bv")
+      .agg(collect_list(struct($"id", $"h")).as("xs")) // <= bucketCap
 
     buckets.select(explode(expr(
       """flatten(transform(xs, (x, i) ->

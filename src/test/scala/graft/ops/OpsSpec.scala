@@ -14,9 +14,10 @@ class MinHashDedupSpec extends AnyFunSuite {
     val b = MinHashDedup.shingles("a b c d x", 3)
     // shared: "a b c", "b c d"; union size 4
     assert(MinHashDedup.exactJaccard(a, b) == 0.5)
-    assert(MinHashDedup.shingles("a b", 3) ==
-      Set(MinHashDedup.hashString("a b")))
+    // degenerate-input rule: fewer than k tokens -> no shingles
+    assert(MinHashDedup.shingles("a b", 3).isEmpty)
     assert(MinHashDedup.shingles("", 3).isEmpty)
+    assert(MinHashDedup.charNgrams("abc", 8).isEmpty)
   }
 
   test("signature similarity estimates jaccard") {
@@ -52,6 +53,21 @@ class MinHashDedupSpec extends AnyFunSuite {
       s"got $keys")
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
+
+  test("degenerate corpus: 100k copies never materialize a mega-bucket") {
+    import spark.implicits._
+    // 100k identical docs -> every (band, bh) bucket holds 100k ids;
+    // the count pass must prune them all BEFORE collect_list (pre-fix
+    // this built 32 lists of 100k elements in single agg buffers)
+    val n = 100000
+    val corpus = spark.range(n)
+      .select($"id", lit("w1 w2 w3 w4 w5 w6 w7 w8").as("t"))
+      .as[(Long, String)]
+    val pairs = MinHashDedup.nearDuplicates(spark, corpus).collect()
+    assert(pairs.isEmpty) // all buckets oversized -> dropped, counted
+    val dropped = MinHashDedup.oversizedBuckets(spark, corpus).collect()
+    assert(dropped.length == 32 && dropped.forall(_.getLong(2) == n))
+  }
 }
 
 class SimHashSpec extends AnyFunSuite {
@@ -79,6 +95,37 @@ class SimHashSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(Set((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L))
       .subsetOf(exact))
+  }
+
+  test("degenerate corpus: identical docs pruned by the count pass") {
+    import spark.implicits._
+    val n = 50000
+    val corpus = spark.range(n)
+      .select($"id", lit("same text for every doc here").as("t"))
+      .as[(Long, String)]
+    assert(SimHash.nearDuplicates(spark, corpus).isEmpty)
+    val dropped = SimHash.oversizedBuckets(spark, corpus).collect()
+    assert(dropped.length == 4 && dropped.forall(_.getLong(2) == n))
+  }
+}
+
+class EmbeddingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("colinear twins found via multi-table LSH + exact verify") {
+    import spark.implicits._
+    val r = new java.util.Random(7)
+    val vs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(16)(r.nextFloat() * 2 - 1)))
+    val twins = vs.take(5).map { case (id, v) =>
+      (id + 100L, v.map(x => x * 1.01f))
+    }
+    val corpus = spark.createDataset(vs ++ twins).toDF("id", "vec")
+    val pairs = EmbeddingDedup.nearDuplicates(spark, corpus, dim = 16)
+      .collect()
+    val keys = pairs.map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert((0 until 5).map(i => (i.toLong, i + 100L)).toSet
+      .subsetOf(keys), s"got $keys")
   }
 }
 
@@ -135,7 +182,7 @@ class AnnSpec extends AnyFunSuite {
     val twin = (999L, vs(0)._2.map(x => x * 1.001f))
     val corpus = spark.createDataset(vs ++ Seq(twin)).toDF("id", "vec")
     val queries = spark.createDataset(vs.take(1)).toDF("qid", "qvec")
-    val got = Ann.lshTopK(spark, corpus, queries, 3).collect()
+    val got = Ann.lshTopK(spark, corpus, queries, 3, dim = 16).collect()
     assert(got.exists(r => r.getInt(1) == 1 && r.getLong(2) == 999L),
       s"twin not found: ${got.mkString(",")}")
   }
