@@ -66,6 +66,60 @@ object SparkEntry {
   def toolFrame(text: String): String =
     "$ cat doc.txt\n" + text + "\nexit_code: 0"
 
+  /** Deterministic transcript turns derived from the documents table so
+    * the DuckDB oracle can mirror the full pipeline (dedupe included)
+    * end to end: doc_id % 4 picks the payload kind (plain / html / tool
+    * / pdf); docs with <= 16 words stay plain on the html branch (the
+    * NumWordsRules tree needs that much isolated-block content); every
+    * 10th doc gets a STALE duplicate — same (conv_id, turn_idx), earlier
+    * ts, different text — that the pipeline's dedupe must drop.
+    */
+  def docTurns(s: SparkSession, dir: String)
+      : Dataset[graft.schema.Turn] = {
+    import s.implicits._
+    import graft.schema.Turn
+    docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val nWords = t.split(' ').length
+        val convId = "c" + (id % 100)
+        val turnIdx = (id / 100).toInt
+        val ts = new java.sql.Timestamp(86400000L + id * 1000L)
+        val turn = (id % 4) match {
+          case 0 => Turn(convId, turnIdx, "user", t, "", ts)
+          case 1 =>
+            if (nWords > 16)
+              Turn(convId, turnIdx, "assistant", htmlFrame(t), "", ts)
+            else Turn(convId, turnIdx, "user", t, "", ts)
+          case 2 => Turn(convId, turnIdx, "tool", toolFrame(t), "bash", ts)
+          case _ => Turn(convId, turnIdx, "user", pdfFrame(t), "", ts)
+        }
+        if (id % 10 == 0)
+          Seq(turn, Turn(convId, turnIdx, "user", "stale duplicate " + id,
+            "", new java.sql.Timestamp(ts.getTime - 5000L)))
+        else Seq(turn)
+      }
+  }
+
+  /** DuckDB fragment: expected extractor per doc (mirrors docTurns). */
+  private val docKindSql =
+    "CASE WHEN doc_id % 4 = 1 AND len(string_split(text, ' ')) > 16 " +
+      "THEN 'html' WHEN doc_id % 4 = 2 THEN 'tool' " +
+      "WHEN doc_id % 4 = 3 THEN 'pdf' ELSE 'plain' END"
+
+  /** DuckDB fragment: reading-order text with the pdf layout's line
+    * structure restored (6 words per line, '\n'-joined) — the expected
+    * output of the XY-cut extractor on pdfFrame payloads.
+    */
+  private val pdfTextSql =
+    "array_to_string(list_transform(generate_series(1, " +
+      "((len(string_split(text, ' ')) + 5) // 6)::INT), i -> " +
+      "array_to_string(string_split(text, ' ')[(i-1)*6+1 : i*6], ' ')), " +
+      "chr(10))"
+
+  /** DuckDB fragment: expected extracted text per doc (docTurns kinds). */
+  private val docExtractedSql =
+    s"CASE WHEN doc_id % 4 = 3 THEN $pdfTextSql ELSE text END"
+
   /** Flagship: full extraction pipeline over synthetic transcripts. */
   def entry(spark: SparkSession): DataFrame = {
     val turns = SynthTranscripts.turns(spark, numConvs = 64,
@@ -103,9 +157,9 @@ object SparkEntry {
       docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, t) =>
           val ex = Extractor.extract("user", "", pdfFrame(t))
-          // \n placement is covered by unit/golden tests; the oracle
-          // compares the order-restored flat text
-          (id, ex.extractor, ex.extracted_text.replace('\n', ' '))
+          // full fidelity: the oracle reconstructs the 6-word line
+          // structure, so '\n' placement is independently checked
+          (id, ex.extractor, ex.extracted_text)
         }.toDF("doc_id", "extractor", "extracted")
     },
 
@@ -118,25 +172,26 @@ object SparkEntry {
         }.toDF("doc_id", "extractor", "extracted")
     },
 
-    // full pipeline on synthetic transcripts (rows-only smoke at driver;
-    // byte-exact goldens are enforced by `sbt -batch test`)
-    "x_transcripts" -> { (s, _) =>
-      val turns = SynthTranscripts.turns(s, numConvs = 200,
-        megaEvery = 100, megaTurns = 1000)
-      val (out, _) = Job.run(s, turns, "verify")
-      out.toDF().select("conv_id", "turn_idx", "extractor", "n_spans",
-        "error")
+    // full pipeline (ONE shuffle: dedupe + order + extract) over turns
+    // derived from the documents table — oracle-checked end to end
+    // including the dedupe of planted stale duplicates; pdf rows keep
+    // their line structure and the oracle reconstructs it
+    "x_transcripts" -> { (s, dir) =>
+      import s.implicits._
+      val (out, _) = Job.run(s, docTurns(s, dir), "verify")
+      out.toDF().select($"conv_id", $"turn_idx", $"extractor",
+        $"extracted_text".as("extracted"))
     },
 
     // composed training-data pipeline: extract -> quality-score the
-    // extracted text -> exact-dedup -> per-extractor rollup (rows-only;
-    // each stage is oracle-checked individually)
-    "x_pipeline_e2e" -> { (s, _) =>
+    // extracted text -> exact-dedup (md5 window) -> per-extractor
+    // rollup — oracle-checked end to end (quality mirrored via the
+    // QUAL-1 formula; the rollup sums integer quality-deciles so the
+    // compare is exact under parallel aggregation)
+    "x_pipeline_e2e" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.functions._
-      val turns = SynthTranscripts.turns(s, numConvs = 150,
-        megaEvery = 75, megaTurns = 600)
-      val (out, _) = Job.run(s, turns, "e2e", orderOutput = false)
+      val (out, _) = Job.run(s, docTurns(s, dir), "e2e",
+        orderOutput = false)
       val scored = out.toDF()
         .filter($"extracted_text" =!= "")
         .withColumn("quality",
@@ -148,19 +203,23 @@ object SparkEntry {
       scored.filter($"dup_rank" === 1 && $"quality" >= 0.5)
         .groupBy($"extractor")
         .agg(count(lit(1)).as("kept"),
-          round(avg($"quality"), 2).as("avg_quality"))
+          sum(round($"quality" * 10, 0).cast("long")).as("sum_q10"))
     },
 
-    // per-partition lineage rows for a pipeline run (metrics table;
-    // rows-only check — contents are asserted in GoldenE2ESpec)
-    "x_lineage" -> { (s, _) =>
-      val turns = SynthTranscripts.turns(s, numConvs = 50,
-        megaEvery = 25, megaTurns = 500)
-      val (out, acc) = Job.run(s, turns, "verify-lineage")
+    // lineage invariants for a pipeline run over docTurns, oracle-
+    // checked: sum(rows_in) == docs + planted duplicates, sum(rows_out)
+    // == docs (dedupe dropped the stale rows), zero errors, and
+    // exactly one lineage row per partition (attempt-deduped)
+    "x_lineage" -> { (s, dir) =>
+      import s.implicits._
+      val (out, acc) = Job.run(s, docTurns(s, dir), "verify-lineage")
       out.write.mode("overwrite").format("noop").save()
-      Job.lineage(s, acc).toDF()
-        .select("run_id", "partition_id", "rows_in", "rows_out",
-          "errors", "extractor_version")
+      Job.lineage(s, acc).toDF().agg(
+        sum($"rows_in").as("rows_in"),
+        sum($"rows_out").as("rows_out"),
+        sum($"errors").as("errors"),
+        (count(lit(1)) === countDistinct($"partition_id"))
+          .as("one_row_per_partition"))
     },
 
     // ===== relational / span-algebra operator surface =====
@@ -317,8 +376,9 @@ object SparkEntry {
 
     "t_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
-      // corpus = documents + exact copies (hamming 0) — rows-only check;
-      // semantics are unit-tested
+      // corpus = documents + exact copies (hamming 0). Oracle: DuckDB
+      // recomputes simhash64 exactly (FNV-1a + SplitMix64 in mod-2^64
+      // HUGEINT arithmetic) and does the exhaustive hamming<=3 self-join
       val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
       val corpus = d.union(d.map { case (id, t) => (id + 1000000L, t) })
       graft.ops.SimHash.nearDuplicates(s, corpus)
@@ -411,7 +471,44 @@ object SparkEntry {
         "FROM documents WHERE len(string_split(text, ' ')) > 16"),
 
     "x_pdf_docs" ->
-      "SELECT doc_id, 'pdf' AS extractor, text AS extracted FROM documents",
+      (s"SELECT doc_id, 'pdf' AS extractor, $pdfTextSql AS extracted " +
+        "FROM documents"),
+
+    "x_transcripts" ->
+      ("SELECT 'c' || (doc_id % 100) AS conv_id, " +
+        "(doc_id // 100)::INT AS turn_idx, " +
+        s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
+        "FROM documents"),
+
+    "x_pipeline_e2e" ->
+      ("WITH exp AS (SELECT 'c' || (doc_id % 100) AS conv_id, " +
+        "(doc_id // 100)::INT AS turn_idx, " +
+        s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
+        "FROM documents), " +
+        "q AS (SELECT conv_id, turn_idx, extractor, extracted, " +
+        "(CASE WHEN len(string_split(extracted, ' ')) BETWEEN 20 AND " +
+        "1000 THEN 0.4 WHEN len(string_split(extracted, ' ')) >= 5 " +
+        "THEN 0.2 ELSE 0.0 END) + (CASE WHEN " +
+        "len(list_filter(string_split(extracted, ' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
+        "len(string_split(extracted, ' ')) BETWEEN 0.01 AND 0.4 " +
+        "THEN 0.3 ELSE 0.0 END) + (CASE WHEN " +
+        "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
+        "len(string_split(extracted, ' ')) >= 0.3 THEN 0.3 WHEN " +
+        "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
+        "len(string_split(extracted, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 " +
+        "END) AS quality FROM exp WHERE extracted <> ''), " +
+        "d AS (SELECT *, row_number() OVER (PARTITION BY md5(extracted) " +
+        "ORDER BY conv_id, turn_idx) AS dup_rank FROM q) " +
+        "SELECT extractor, count(*) AS kept, " +
+        "sum(round(quality * 10)::BIGINT)::BIGINT AS sum_q10 FROM d " +
+        "WHERE dup_rank = 1 AND quality >= 0.5 GROUP BY 1"),
+
+    "x_lineage" ->
+      ("SELECT (SELECT count(*) FROM documents) + (SELECT count(*) " +
+        "FROM documents WHERE doc_id % 10 = 0) AS rows_in, " +
+        "(SELECT count(*) FROM documents) AS rows_out, " +
+        "0::BIGINT AS errors, true AS one_row_per_partition"),
 
     "x_tool_docs" ->
       ("SELECT doc_id, 'tool' AS extractor, text AS extracted " +
@@ -515,6 +612,47 @@ object SparkEntry {
         "FROM inter JOIN cnt ca ON ca.id = id_a " +
         "JOIN cnt cb ON cb.id = id_b " +
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    // exact mirror of SimHash.simhash64: per-token FNV-1a then SplitMix64
+    // finalizer, both in mod-2^64 HUGEINT arithmetic (the two big-constant
+    // multiplies split into 32-bit halves to stay inside INT128), then
+    // per-bit majority votes; pairs = exhaustive hamming<=3 self-join.
+    // Precondition (holds for the synth fixtures): BMP-only text — Scala
+    // hashes UTF-16 units, ascii(c) yields code points.
+    "t_dedup_simhash" ->
+      ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents), " +
+        "tok AS (SELECT id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS w FROM corpus), " +
+        "fnv AS (SELECT id, list_reduce(list_prepend(" +
+        "14695981039346656037::HUGEINT, " +
+        "list_transform(string_split(w, ''), c -> ascii(c)::HUGEINT)), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % " +
+        "18446744073709551616::HUGEINT) AS h0 FROM tok), " +
+        "m1 AS (SELECT id, (h0 + 11400714819323198485::HUGEINT) % " +
+        "18446744073709551616::HUGEINT AS z0 FROM fnv), " +
+        "m2 AS (SELECT id, xor(z0, z0 >> 30) AS z1 FROM m1), " +
+        "m3 AS (SELECT id, ((((z1 >> 32) * " +
+        "13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * " +
+        "4294967296::HUGEINT + (z1 % 4294967296::HUGEINT) * " +
+        "13787848793156543929::HUGEINT) % " +
+        "18446744073709551616::HUGEINT AS z2 FROM m2), " +
+        "m4 AS (SELECT id, xor(z2, z2 >> 27) AS z3 FROM m3), " +
+        "m5 AS (SELECT id, ((((z3 >> 32) * " +
+        "10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * " +
+        "4294967296::HUGEINT + (z3 % 4294967296::HUGEINT) * " +
+        "10723151780598845931::HUGEINT) % " +
+        "18446744073709551616::HUGEINT AS z4 FROM m4), " +
+        "th AS (SELECT id, xor(z4, z4 >> 31) AS th FROM m5), " +
+        "votes AS (SELECT id, b, sum(CASE WHEN (th >> b) % 2 = 1 " +
+        "THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN " +
+        "(SELECT unnest(generate_series(0, 63)) AS b) bs GROUP BY 1, 2), " +
+        "sh AS (SELECT id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) " +
+        "ELSE 0::HUGEINT END) AS sh FROM votes GROUP BY 1) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "bit_count(xor(a.sh, b.sh))::INT AS dist " +
+        "FROM sh a JOIN sh b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"),
 
     "t_dedup_embedding" ->
       ("WITH corpus AS (SELECT vec_id AS id, embedding AS vec " +

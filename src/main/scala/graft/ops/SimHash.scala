@@ -84,7 +84,8 @@ object SimHash {
       """flatten(transform(xs, (x, i) ->
            transform(slice(xs, i + 2, size(xs)), y ->
              struct(least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
-                    x.h AS ha, y.h AS hb))))""")).as("p"))
+                    if(x.id <= y.id, x.h, y.h) AS ha,
+                    if(x.id <= y.id, y.h, x.h) AS hb))))""")).as("p"))
       .select($"p.a".as("id_a"), $"p.b".as("id_b"), $"p.ha", $"p.hb")
       .distinct()
       .as[(Long, Long, Long, Long)]

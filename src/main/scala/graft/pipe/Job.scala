@@ -71,7 +71,9 @@ object Job {
       var rowsOut = 0L
       var errors = 0L
       val part = TaskContext.getPartitionId()
-      val stage = Option(TaskContext.get()).map(_.stageId()).getOrElse(-1)
+      val tc = Option(TaskContext.get())
+      val stage = tc.map(_.stageId()).getOrElse(-1)
+      val attempt = tc.map(_.attemptNumber()).getOrElse(0)
       var prevConv: String = null
       var prevTurn = Int.MinValue
       val mapped = it.flatMap { t =>
@@ -97,8 +99,8 @@ object Job {
         }
         private def maybeEmit(): Unit = if (!emitted) {
           emitted = true
-          acc.add(LineageRow(runId, stage, part, rowsIn, rowsOut, errors,
-            (System.nanoTime() - t0) / 1000000L,
+          acc.add(LineageRow(runId, stage, part, attempt, rowsIn, rowsOut,
+            errors, (System.nanoTime() - t0) / 1000000L,
             Versions.ExtractorVersion))
         }
         def next(): ExtractedTurn = mapped.next()
@@ -128,11 +130,22 @@ object Job {
     extractSorted(spark, sorted, runId)
   }
 
-  /** Lineage rows collected so far (call after an action). */
+  /** Lineage rows collected so far (call after an action).
+    *
+    * Exactly-once: Spark guarantees exactly-once accumulator updates
+    * only for ACTIONS; task retries/speculation inside a transformation
+    * can append duplicate rows. We therefore record the task attempt
+    * number and keep ONE row per (run, stage, partition) — the highest
+    * attempt, i.e. the one whose output the scheduler actually kept.
+    */
   def lineage(spark: SparkSession,
       acc: CollectionAccumulator[LineageRow]): Dataset[LineageRow] = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    spark.createDataset(acc.value.asScala.toSeq)
+    val deduped = acc.value.asScala
+      .groupBy(r => (r.run_id, r.stage_id, r.partition_id))
+      .map { case (_, rows) => rows.maxBy(_.attempt) }
+      .toSeq
+    spark.createDataset(deduped)
   }
 }

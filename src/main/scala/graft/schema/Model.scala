@@ -65,6 +65,7 @@ case class LineageRow(
     run_id: String,
     stage_id: Int,
     partition_id: Int,
+    attempt: Int,
     rows_in: Long,
     rows_out: Long,
     errors: Long,
