@@ -1,9 +1,9 @@
 package graft.pipe
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import graft.schema.{ExtractedTurn, LineageRow, Turn}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.schema.Turn
 import java.nio.charset.StandardCharsets
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 
 /** Snapshot-incremental resume (the north rule's "resumable from Iceberg
   * snapshot checkpoints", expressed against the sandbox's parquet
@@ -11,11 +11,22 @@ import org.apache.hadoop.fs.Path
   * Iceberg table the manifest is the last-processed snapshot id and the
   * incremental read is `option("start-snapshot-id", ...)`).
   *
-  * State layout under `stateDir`:
-  *   manifest.txt  — one processed input file path per line (committed
-  *                   AFTER output+lineage are durably written, so a crash
-  *                   between write and commit reprocesses idempotently —
-  *                   extraction is deterministic, so replays are safe).
+  * Crash-safety contract:
+  *  - each increment stages its output under RUN-SCOPED paths
+  *    (`extracted/run=<id>`, `lineage/run=<id>`) with SaveMode.Overwrite,
+  *    so replaying a crashed run REWRITES the same directories instead of
+  *    appending duplicates (extraction is deterministic);
+  *  - the manifest (processed input files + committed run ids) is the
+  *    single atomic publish point, renamed over the old one with
+  *    FileContext.rename(OVERWRITE) — never delete-then-rename, so no
+  *    window where the manifest is missing;
+  *  - readers consume `readCommitted`, which lists only run directories
+  *    whose id is in the manifest — a crash after staging but before
+  *    commit leaves an orphan directory that is never read and is
+  *    rewritten on replay.
+  *
+  * State layout under `stateDir`: `manifest.txt` with one record per
+  * line — `F <input-file>` or `R <runId>`.
   */
 object Checkpoint {
 
@@ -28,24 +39,42 @@ object Checkpoint {
       .sorted
   }
 
-  def processedFiles(spark: SparkSession, stateDir: String): Set[String] = {
+  final case class Manifest(files: Set[String], runs: Set[String])
+
+  def readManifest(spark: SparkSession, stateDir: String): Manifest = {
     val p = new Path(stateDir, "manifest.txt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
+    if (!fs.exists(p)) Manifest(Set.empty, Set.empty)
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toVector
+        finally in.close()
+      Manifest(
+        lines.collect { case l if l.startsWith("F ") => l.drop(2) }.toSet,
+        lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSet)
     }
   }
 
-  def commitFiles(spark: SparkSession, stateDir: String,
-      files: Seq[String]): Unit = {
-    val prev = processedFiles(spark, stateDir)
-    val all = (prev ++ files).toSeq.sorted
+  def processedFiles(spark: SparkSession, stateDir: String): Set[String] =
+    readManifest(spark, stateDir).files
+
+  def committedRuns(spark: SparkSession, stateDir: String): Set[String] =
+    readManifest(spark, stateDir).runs
+
+  /** Atomically publish `files` + `runId` into the manifest: write a
+    * temp file, then rename OVER the current manifest (overwrite-capable
+    * atomic rename — no delete window).
+    */
+  def commit(spark: SparkSession, stateDir: String,
+      files: Seq[String], runId: String): Unit = {
+    val prev = readManifest(spark, stateDir)
+    val all = (prev.files ++ files).toSeq.sorted.map("F " + _) ++
+      (prev.runs + runId).toSeq.sorted.map("R " + _)
     val dir = new Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val tmp = new Path(stateDir, "manifest.txt.tmp")
     val out = fs.create(tmp, true)
@@ -53,13 +82,16 @@ object Checkpoint {
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(stateDir, "manifest.txt")
-    fs.delete(fin, false)
-    fs.rename(tmp, fin) // atomic commit point
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(fin),
+      Options.Rename.OVERWRITE) // atomic commit point
   }
 
   /** One incremental run: process only input files not yet in the
-    * manifest; append extracted output + lineage; then commit the
-    * manifest. Returns number of new files processed.
+    * manifest; stage extracted output + lineage under run-scoped
+    * overwrite paths; then commit the manifest. Returns number of new
+    * files processed. Safe to replay with the same runId after a crash
+    * at any point.
     */
   def runIncremental(spark: SparkSession, inputDir: String,
       outputDir: String, stateDir: String, runId: String): Int = {
@@ -69,10 +101,21 @@ object Checkpoint {
     if (todo.isEmpty) return 0
     val turns = spark.read.parquet(todo: _*).as[Turn]
     val (out, acc) = Job.run(spark, turns, runId)
-    out.write.mode(SaveMode.Append).parquet(s"$outputDir/extracted")
-    Job.lineage(spark, acc).write.mode(SaveMode.Append)
-      .parquet(s"$outputDir/lineage")
-    commitFiles(spark, stateDir, todo)
+    out.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outputDir/extracted/run=$runId")
+    Job.lineage(spark, acc).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outputDir/lineage/run=$runId")
+    commit(spark, stateDir, todo, runId)
     todo.length
+  }
+
+  /** Read only COMMITTED run directories of `table` ("extracted" or
+    * "lineage") — orphan directories from crashed runs are invisible.
+    */
+  def readCommitted(spark: SparkSession, outputDir: String,
+      stateDir: String, table: String = "extracted"): DataFrame = {
+    val runs = committedRuns(spark, stateDir).toSeq.sorted
+    require(runs.nonEmpty, s"no committed runs under $stateDir")
+    spark.read.parquet(runs.map(r => s"$outputDir/$table/run=$r"): _*)
   }
 }

@@ -37,15 +37,18 @@ object StreamingJob {
   }
 
   /** Cross-batch dedupe on (conv_id, turn_idx) with a bounded state
-    * window: rows older than the watermark horizon are expired from
-    * the dedupe state.
+    * window. dropDuplicatesWithinWatermark ties the dedupe state's
+    * lifetime to the event-time watermark even though the key set has
+    * no event-time column — plain dropDuplicates(conv_id, turn_idx)
+    * would never expire its state and grow unboundedly in a
+    * long-running stream.
     */
   def withDedupe(turns: Dataset[Turn],
       watermarkDelay: String = "1 hour"): Dataset[Turn] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.withWatermark("ts", watermarkDelay)
-      .dropDuplicates("conv_id", "turn_idx")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
       .as[Turn]
   }
 

@@ -211,27 +211,43 @@ class CheckpointSpec extends AnyFunSuite {
     val n1 = Checkpoint.runIncremental(spark, inDir, outDir, stateDir,
       "run1")
     assert(n1 == 2)
-    val count1 = spark.read.parquet(s"$outDir/extracted").count()
+    val count1 = Checkpoint.readCommitted(spark, outDir, stateDir).count()
     assert(count1 > 0)
 
     // resume with nothing new -> no-op
     assert(Checkpoint.runIncremental(spark, inDir, outDir, stateDir,
       "run2") == 0)
-    assert(spark.read.parquet(s"$outDir/extracted").count() == count1)
+    assert(Checkpoint.readCommitted(spark, outDir, stateDir).count()
+      == count1)
+
+    // crash between output staging and manifest commit: wipe the
+    // manifest (as if the commit never happened) and replay the same
+    // run — the run-scoped overwrite must NOT duplicate output rows
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir, "manifest.txt"),
+      false)
+    assert(Checkpoint.runIncremental(spark, inDir, outDir, stateDir,
+      "run1") == 2)
+    assert(Checkpoint.readCommitted(spark, outDir, stateDir).count()
+      == count1)
 
     // add a third file -> only it is processed, output appended
     writeBatch("c", 6 until 8)
     promote("c")
     assert(Checkpoint.runIncremental(spark, inDir, outDir, stateDir,
       "run3") == 1)
-    val count2 = spark.read.parquet(s"$outDir/extracted").count()
+    val count2 = Checkpoint.readCommitted(spark, outDir, stateDir).count()
     val expected = (6 until 8).map(c =>
       SynthTranscripts.genConv(42, c.toLong, 0, 0).size).sum
     assert(count2 == count1 + expected)
 
-    // lineage table written with both run ids
-    val runs = spark.read.parquet(s"$outDir/lineage")
+    // an orphan (staged-but-uncommitted) run directory is invisible
+    spark.range(0).write
+      .parquet(s"$outDir/lineage/run=crashed-orphan")
+    val runs = Checkpoint.readCommitted(spark, outDir, stateDir,
+        "lineage")
       .select("run_id").distinct().collect().map(_.getString(0)).toSet
     assert(runs == Set("run1", "run3"))
+    assert(Checkpoint.committedRuns(spark, stateDir)
+      == Set("run1", "run3"))
   }
 }
