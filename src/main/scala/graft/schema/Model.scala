@@ -73,6 +73,10 @@ case class LineageRow(
     extractor_version: String)
 
 object Versions {
-  /** Frozen spec version; bump when NORM/BOIL/XYCUT/TOOL rules change. */
-  val ExtractorVersion = "v1"
+  /** Frozen spec version; bump when NORM/ENT/BOIL/XYCUT/TOOL rules
+    * change. v2: ENT-1 (34 names, ';' required) -> ENT-2 (full WHATWG
+    * table, legacy semicolon-less forms, numeric refs with optional ';'
+    * and the windows-1252 C1 override).
+    */
+  val ExtractorVersion = "v2"
 }

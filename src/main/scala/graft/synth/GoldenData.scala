@@ -59,6 +59,24 @@ object GoldenData {
     // duplicate (conv_id, turn_idx): later ts wins
     Turn("edge-dup", 0, "user", "stale version of the turn", "", ts(12)),
     Turn("edge-dup", 0, "user", "fresh version of the turn", "", ts(99)),
+    // ENT-2 classes: currency/typography, greek+math+arrows, legacy
+    // semicolon-less forms, multi-codepoint, numeric C1 override
+    Turn("edge-ent2", 0, "assistant",
+      "<p>price one hundred &euro; or eighty &pound; maybe &yen; plus " +
+        "a &sect; mark and a &dagger; note and a &permil; rate</p>", "",
+      ts(14)),
+    Turn("edge-ent2", 1, "assistant",
+      "<p>math says &alpha; plus &beta; &ne; &gamma; for &forall; " +
+        "values and the limit goes &rarr; &infin; with &part; small</p>",
+      "", ts(15)),
+    Turn("edge-ent2", 2, "assistant",
+      "<p>legacy forms also decode one two three four five six seven " +
+        "eight nine ten eleven twelve &amp thirteen &copy 2024 &eacutex" +
+        "</p>", "", ts(16)),
+    Turn("edge-ent2", 3, "assistant",
+      "<p>combining form &NotEqualTilde; and numeric forms &#8364; " +
+        "&#x2260; with c1 override &#146;&#153; and bare &#65 end plus " +
+        "padding words to pass the content rule here</p>", "", ts(17)),
     // plain with messy paragraph whitespace
     Turn("edge-plain", 0, "user",
       "  lead ws\nsecond line  \n\n\n  par two  \n\t\n par three", "",

@@ -1,29 +1,128 @@
 package graft.text
 
-/** Frozen HTML entity table ENT-1. Named subset (the common entities our
-  * payloads can contain) plus full numeric dec/hex references. Unknown or
-  * malformed references pass through verbatim (HTML5 error-recovery
-  * behavior). Single pass, no regex.
+/** Frozen HTML entity table ENT-2: the full WHATWG named character
+  * reference list (2,125 `&name;` entries incl. multi-codepoint ones,
+  * packed in EntityTable) plus the 106 semicolon-less legacy forms with
+  * spec-faithful longest-prefix matching in text, plus numeric dec/hex
+  * references with optional ';' and the spec's windows-1252 override
+  * for the C1 range. Unknown or malformed references pass through
+  * verbatim (extraction-fidelity deviation from the spec's U+FFFD
+  * replacement for out-of-range code points). Single pass, no regex.
   *
   * Reference precedent for a pinned char table:
   * vkit/utility/text/const/whitespace.py, const/delimiter.py.
   */
 object Entities {
 
-  val named: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> " ", "mdash" -> "—",
-    "ndash" -> "–", "hellip" -> "…", "copy" -> "©",
-    "reg" -> "®", "trade" -> "™", "laquo" -> "«",
-    "raquo" -> "»", "lsquo" -> "‘", "rsquo" -> "’",
-    "ldquo" -> "“", "rdquo" -> "”", "bull" -> "•",
-    "middot" -> "·", "times" -> "×", "divide" -> "÷",
-    "deg" -> "°", "plusmn" -> "±", "frac12" -> "½",
-    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
-    "ccedil" -> "ç", "uuml" -> "ü", "ouml" -> "ö",
-    "auml" -> "ä", "szlig" -> "ß", "ntilde" -> "ñ")
+  private def parse(packed: String): java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](4096)
+    packed.split('\n').foreach { line =>
+      val sp = line.indexOf(' ')
+      val name = line.substring(0, sp)
+      val cps = line.substring(sp + 1).split(',')
+        .map(Integer.parseInt(_, 16))
+      val sb = new java.lang.StringBuilder(4)
+      cps.foreach(sb.appendCodePoint)
+      m.put(name, sb.toString)
+    }
+    m
+  }
 
-  private val maxNameLen = named.keys.map(_.length).max
+  /** `&name;` entries, keyed without the ';'. */
+  private val full = parse(EntityTable.fullPacked)
+
+  /** Historical semicolon-less entries (spec still decodes in text). */
+  private val legacy = parse(EntityTable.legacyPacked)
+
+  private val maxNameLen =
+    EntityTable.fullPacked.split('\n').iterator
+      .map(l => l.indexOf(' ')).max // 31
+  private val maxLegacyLen =
+    EntityTable.legacyPacked.split('\n').iterator
+      .map(l => l.indexOf(' ')).max // 6
+
+  def namedCount: Int = full.size
+  def legacyCount: Int = legacy.size
+
+  /** Spec's numeric-reference override: C1 code points decode via the
+    * windows-1252 table (https://html.spec.whatwg.org/ "Numeric
+    * character reference end state").
+    */
+  private val win1252: Array[Int] = {
+    val a = Array.tabulate(32)(i => 0x80 + i)
+    val m = Map(0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192,
+      0x84 -> 0x201E, 0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021,
+      0x88 -> 0x02C6, 0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039,
+      0x8C -> 0x0152, 0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019,
+      0x93 -> 0x201C, 0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013,
+      0x97 -> 0x2014, 0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161,
+      0x9B -> 0x203A, 0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+    m.foreach { case (k, v) => a(k - 0x80) = v }
+    a
+  }
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9')
+
+  @inline private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Longest-match character reference at `s(i) == '&'` scanning no
+    * further than `until`. Returns (decoded, charsConsumed incl. '&'
+    * and any ';'), or null when this is not a decodable reference
+    * (caller emits '&' verbatim and advances by 1).
+    */
+  def matchRef(s: String, i: Int, until: Int): (String, Int) = {
+    if (i + 1 >= until) return null
+    if (s.charAt(i + 1) == '#') {
+      var j = i + 2
+      var cp = 0L
+      var any = false
+      if (j < until && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+        j += 1
+        var h = if (j < until) hexVal(s.charAt(j)) else -1
+        while (h >= 0) {
+          cp = math.min(cp * 16 + h, 0x110000L); any = true; j += 1
+          h = if (j < until) hexVal(s.charAt(j)) else -1
+        }
+      } else {
+        while (j < until && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          cp = math.min(cp * 10 + (s.charAt(j) - '0'), 0x110000L)
+          any = true; j += 1
+        }
+      }
+      if (!any) return null
+      val end = if (j < until && s.charAt(j) == ';') j + 1 else j
+      var code = cp.toInt
+      if (code >= 0x80 && code <= 0x9F) code = win1252(code - 0x80)
+      if (code <= 0 || code >= 0x110000 ||
+        (code >= 0xD800 && code <= 0xDFFF)) null
+      else (new String(Character.toChars(code)), end - i)
+    } else {
+      var j = i + 1
+      val lim = math.min(until, i + 1 + maxNameLen)
+      while (j < lim && isAlnum(s.charAt(j))) j += 1
+      if (j == i + 1) return null
+      val run = s.substring(i + 1, j)
+      if (j < until && s.charAt(j) == ';') {
+        val v = full.get(run)
+        if (v != null) return (v, run.length + 2)
+      }
+      // spec text-context fallback: longest legacy (semicolon-less)
+      // table entry that prefixes the alphanumeric run
+      var len = math.min(run.length, maxLegacyLen)
+      while (len >= 2) {
+        val v = legacy.get(run.substring(0, len))
+        if (v != null) return (v, len + 1)
+        len -= 1
+      }
+      null
+    }
+  }
 
   /** Append the decoded form of `s[from, until)` to `sb` without
     * allocating an intermediate substring (hot path: one call per HTML
@@ -41,26 +140,19 @@ object Entities {
         if (!Normalizer.isWs(c)) nonBlank = true
         i += 1
       } else {
-        val semi = s.indexOf(';', i + 1)
-        val limit = i + 2 + math.max(maxNameLen, 8)
-        val decoded =
-          if (semi < 0 || semi >= until || semi > limit) null
-          else decodeBody(s.substring(i + 1, semi))
-        if (decoded == null) { sb.append('&'); nonBlank = true; i += 1 }
+        val m = matchRef(s, i, until)
+        if (m == null) { sb.append('&'); nonBlank = true; i += 1 }
         else {
-          sb.append(decoded)
-          if (!Normalizer.isBlank(decoded)) nonBlank = true
-          i = semi + 1
+          sb.append(m._1)
+          if (!Normalizer.isBlank(m._1)) nonBlank = true
+          i += m._2
         }
       }
     }
     nonBlank
   }
 
-  /** Decode entity references in `s`. Handles `&name;`, `&#123;`,
-    * `&#x1F;`/`&#X1F;`. A reference missing its terminating ';' or naming
-    * an unknown entity is emitted verbatim.
-    */
+  /** Decode entity references in `s` (ENT-2 rules). */
   def decode(s: String): String = {
     var i = s.indexOf('&')
     if (i < 0) return s
@@ -71,34 +163,11 @@ object Entities {
       val c = s.charAt(i)
       if (c != '&') { sb.append(c); i += 1 }
       else {
-        val semi = s.indexOf(';', i + 1)
-        val limit = i + 2 + math.max(maxNameLen, 8)
-        if (semi < 0 || semi > limit) { sb.append('&'); i += 1 }
-        else {
-          val body = s.substring(i + 1, semi)
-          val decoded = decodeBody(body)
-          if (decoded == null) { sb.append('&'); i += 1 }
-          else { sb.append(decoded); i = semi + 1 }
-        }
+        val m = matchRef(s, i, n)
+        if (m == null) { sb.append('&'); i += 1 }
+        else { sb.append(m._1); i += m._2 }
       }
     }
     sb.toString
-  }
-
-  /** Decode the text between '&' and ';'; null if not a valid reference. */
-  private def decodeBody(body: String): String = {
-    if (body.isEmpty) null
-    else if (body.charAt(0) == '#') {
-      val num = body.substring(1)
-      try {
-        val cp =
-          if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
-            Integer.parseInt(num.substring(1), 16)
-          else Integer.parseInt(num, 10)
-        if (cp <= 0 || cp > 0x10FFFF ||
-          (cp >= 0xD800 && cp <= 0xDFFF)) null
-        else new String(Character.toChars(cp))
-      } catch { case _: NumberFormatException => null }
-    } else named.getOrElse(body, null)
   }
 }

@@ -118,7 +118,8 @@ class GoldenE2ESpec extends AnyFunSuite {
     assert(lin.map(_.rows_in).sum == GoldenData.inputTurns.size)
     assert(lin.map(_.rows_out).sum == n)
     assert(lin.map(_.errors).sum >= 2) // bomb + bad pdf edge turns
-    assert(lin.forall(_.extractor_version == "v1"))
+    assert(lin.forall(_.extractor_version ==
+      graft.schema.Versions.ExtractorVersion))
     assert(lin.forall(_.wall_ms >= 0))
   }
 }

@@ -42,13 +42,41 @@ class EntitiesSpec extends AnyFunSuite {
     assert(decode("&#x1F600;") == new String(Character.toChars(0x1F600)))
   }
 
+  test("ENT-2: full WHATWG table") {
+    assert(Entities.namedCount == 2125 && Entities.legacyCount == 106)
+    assert(decode("&euro;&pound;&sect;&alpha;&rarr;") ==
+      "€£§α→")
+    assert(decode("&forall;&ne;&le;&infin;&part;") ==
+      "∀≠≤∞∂")
+    // multi-codepoint entity
+    assert(decode("&NotEqualTilde;") == "≂̸")
+    // longest-match: &notin; is its own entity, not &not + "in;"
+    assert(decode("&notin;") == "∉")
+  }
+
+  test("ENT-2: semicolon-less legacy forms, longest-prefix") {
+    assert(decode("&amp") == "&")
+    assert(decode("100 &amp 200") == "100 & 200")
+    assert(decode("&copy 2024") == "© 2024")
+    assert(decode("&ampx") == "&x") // maximal table match is 'amp'
+    assert(decode("&eacutex") == "éx")
+    // not a legacy form -> needs the ';' -> verbatim
+    assert(decode("&alpha beta") == "&alpha beta")
+  }
+
+  test("ENT-2: numeric refs with optional ';', windows-1252 override") {
+    // missing ';' still decodes (spec), stops at the first non-digit
+    assert(decode("&#65 x") == "A x")
+    // C1 range maps through the spec's windows-1252 override
+    assert(decode("&#128;&#146;&#153;") == "€’™")
+  }
+
   test("malformed references pass through") {
-    assert(decode("&unknown; &amp") == "&unknown; &amp")
+    assert(decode("&unknown; &zzz") == "&unknown; &zzz")
     assert(decode("a & b") == "a & b")
     assert(decode("&#xZZ;") == "&#xZZ;")
     assert(decode("&#0;&#x110000;") == "&#0;&#x110000;")
     assert(decode("&;") == "&;")
-    assert(decode("100 &amp 200") == "100 &amp 200")
   }
 
   test("no entities returns same instance") {
