@@ -1,8 +1,6 @@
 package graft.pdf
 
 import graft.schema.Span
-import graft.text.Json
-import graft.text.Json._
 
 /** Frozen PDF-layout spec XYCUT-1.
   *
@@ -40,35 +38,223 @@ object XyCut {
   val MaxJoinGap = 5.0
 
   final case class Run(page: Int, x0: Double, y0: Double, x1: Double,
-      y1: Double, text: String, srcBegin: Int, srcEnd: Int, order: Int) {
+      y1: Double, srcBegin: Int, srcEnd: Int, order: Int) {
     def height: Double = y1 - y0
   }
 
   final class PdfParseError(msg: String) extends Exception(msg)
 
-  /** Parse the runs payload, keeping source offsets of each text value. */
-  def parseRuns(payload: String): Vector[Run] = {
-    val j =
-      try Json.parse(payload)
-      catch { case e: Exception => throw new PdfParseError(e.getMessage) }
-    j match {
-      case JArr(items) =>
-        items.zipWithIndex.map {
-          case (JObj(f), idx) =>
-            val o = JObj(f)
-            def num(k: String): Double = o.get(k) match {
-              case Some(JNum(v)) => v
-              case _ => throw new PdfParseError(s"run $idx: missing $k")
-            }
-            o.get("text") match {
-              case Some(JStr(v, b, e)) =>
-                Run(num("page").toInt, num("x0"), num("y0"), num("x1"),
-                  num("y1"), v, b, e, idx)
-              case _ => throw new PdfParseError(s"run $idx: missing text")
-            }
-          case _ => throw new PdfParseError("non-object run")
+  /** Parse the runs payload, keeping source offsets of each text value.
+    *
+    * Specialized single-pass scanner (no AST, no boxing): Probe5 showed
+    * the generic Json.parse AST accounted for ~half the pdf extractor's
+    * per-byte cost. Semantics match the generic parser on valid
+    * payloads — unknown fields of any JSON type are skipped
+    * structurally, duplicate keys keep the first occurrence, numbers
+    * parse to the same correctly-rounded doubles (integer mantissa +
+    * exact power-of-ten division on the common form, Double.parseDouble
+    * fallback for exponents) — and field-presence errors use the same
+    * messages ("run N: missing K").
+    */
+  def parseRuns(payload: String): Vector[Run] =
+    new RunsParser(payload).parseAll()
+
+  private val Pow10: Array[Double] = Array.tabulate(19)(i =>
+    math.pow(10.0, i)) // 10^0..10^18 are all exact doubles
+
+  private final class RunsParser(s: String) {
+    private[this] var pos = 0
+    private[this] val n = s.length
+    // last string scanned: content offsets between the quotes
+    private[this] var strBegin = 0
+    private[this] var strEnd = 0
+
+    private def err(msg: String): Nothing =
+      throw new PdfParseError(msg + " at " + pos)
+
+    private def skipWs(): Unit = {
+      while (pos < n) {
+        val c = s.charAt(pos)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else return
+      }
+    }
+
+    /** Scan a string literal; offsets land in strBegin/strEnd. */
+    private def scanString(): Unit = {
+      if (pos >= n || s.charAt(pos) != '"') err("expected string")
+      pos += 1
+      strBegin = pos
+      while (pos < n) {
+        val c = s.charAt(pos)
+        if (c == '"') { strEnd = pos; pos += 1; return }
+        else if (c == '\\') pos += 2
+        else pos += 1
+      }
+      err("eof in string")
+    }
+
+    private def skipLit(word: String): Unit = {
+      if (!s.startsWith(word, pos)) err("bad literal")
+      pos += word.length
+    }
+
+    /** Structurally skip any JSON value (unknown/extra fields). */
+    private def skipValue(depth: Int): Unit = {
+      if (depth > 64) err("too deep")
+      skipWs()
+      if (pos >= n) err("eof")
+      s.charAt(pos) match {
+        case '{' =>
+          pos += 1; skipWs()
+          if (pos < n && s.charAt(pos) == '}') { pos += 1; return }
+          while (true) {
+            skipWs(); scanString(); skipWs()
+            if (pos >= n || s.charAt(pos) != ':') err("expected :")
+            pos += 1
+            skipValue(depth + 1); skipWs()
+            if (pos >= n) err("eof in object")
+            val c = s.charAt(pos); pos += 1
+            if (c == '}') return
+            if (c != ',') err("expected , or }")
+          }
+        case '[' =>
+          pos += 1; skipWs()
+          if (pos < n && s.charAt(pos) == ']') { pos += 1; return }
+          while (true) {
+            skipValue(depth + 1); skipWs()
+            if (pos >= n) err("eof in array")
+            val c = s.charAt(pos); pos += 1
+            if (c == ']') return
+            if (c != ',') err("expected , or ]")
+          }
+        case '"' => scanString()
+        case 't' => skipLit("true")
+        case 'f' => skipLit("false")
+        case 'n' => skipLit("null")
+        case _   => parseNum()
+      }
+    }
+
+    private def parseNum(): Double = {
+      val start = pos
+      var neg = false
+      if (pos < n && (s.charAt(pos) == '-' || s.charAt(pos) == '+')) {
+        neg = s.charAt(pos) == '-'; pos += 1
+      }
+      var mant = 0L
+      var digits = 0
+      var frac = 0
+      var seenDot = false
+      var simple = true
+      var done = false
+      while (!done && pos < n) {
+        val c = s.charAt(pos)
+        if (c >= '0' && c <= '9') {
+          if (digits < 18) {
+            mant = mant * 10 + (c - '0'); digits += 1
+            if (seenDot) frac += 1
+          } else simple = false
+          pos += 1
+        } else if (c == '.' && !seenDot) { seenDot = true; pos += 1 }
+        else if (c == '.' || c == 'e' || c == 'E' || c == '-' ||
+          c == '+') { simple = false; pos += 1 }
+        else done = true
+      }
+      if (pos == start) err("bad number")
+      if (simple && digits > 0) {
+        val v = mant / Pow10(frac)
+        if (neg) -v else v
+      } else {
+        try java.lang.Double.parseDouble(s.substring(start, pos))
+        catch { case _: NumberFormatException => err("bad number") }
+      }
+    }
+
+    /** One run object; `idx` only feeds error messages. */
+    private def parseRun(idx: Int): Run = {
+      skipWs()
+      if (pos >= n || s.charAt(pos) != '{')
+        throw new PdfParseError("non-object run")
+      pos += 1
+      var page, x0, y0, x1, y1 = 0.0
+      var fPage, fX0, fY0, fX1, fY1, fText = false
+      var tb, te = 0
+      skipWs()
+      var done = pos < n && s.charAt(pos) == '}'
+      if (done) pos += 1
+      while (!done) {
+        skipWs(); scanString()
+        val kb = strBegin; val ke = strEnd
+        skipWs()
+        if (pos >= n || s.charAt(pos) != ':') err("expected :")
+        pos += 1
+        skipWs()
+        val klen = ke - kb
+        @inline def key(k: String): Boolean =
+          klen == k.length && s.regionMatches(kb, k, 0, klen)
+        val isNumStart = pos < n && {
+          val c = s.charAt(pos)
+          c != '{' && c != '[' && c != '"' && c != 't' && c != 'f' &&
+            c != 'n'
         }
-      case _ => throw new PdfParseError("payload is not a JSON array")
+        if (key("text")) {
+          if (pos < n && s.charAt(pos) == '"') {
+            scanString()
+            if (!fText) { tb = strBegin; te = strEnd; fText = true }
+          } else skipValue(0)
+        } else if (key("page") && isNumStart) {
+          val v = parseNum(); if (!fPage) { page = v; fPage = true }
+        } else if (key("x0") && isNumStart) {
+          val v = parseNum(); if (!fX0) { x0 = v; fX0 = true }
+        } else if (key("y0") && isNumStart) {
+          val v = parseNum(); if (!fY0) { y0 = v; fY0 = true }
+        } else if (key("x1") && isNumStart) {
+          val v = parseNum(); if (!fX1) { x1 = v; fX1 = true }
+        } else if (key("y1") && isNumStart) {
+          val v = parseNum(); if (!fY1) { y1 = v; fY1 = true }
+        } else skipValue(0)
+        skipWs()
+        if (pos >= n) err("eof in object")
+        val c = s.charAt(pos); pos += 1
+        if (c == '}') done = true
+        else if (c != ',') err("expected , or }")
+      }
+      // same check order (and messages) as the generic path
+      if (!fText) throw new PdfParseError(s"run $idx: missing text")
+      if (!fPage) throw new PdfParseError(s"run $idx: missing page")
+      if (!fX0) throw new PdfParseError(s"run $idx: missing x0")
+      if (!fY0) throw new PdfParseError(s"run $idx: missing y0")
+      if (!fX1) throw new PdfParseError(s"run $idx: missing x1")
+      if (!fY1) throw new PdfParseError(s"run $idx: missing y1")
+      Run(page.toInt, x0, y0, x1, y1, tb, te, idx)
+    }
+
+    def parseAll(): Vector[Run] = {
+      skipWs()
+      if (pos >= n) err("eof")
+      if (s.charAt(pos) != '[')
+        throw new PdfParseError("payload is not a JSON array")
+      pos += 1
+      val out = Vector.newBuilder[Run]
+      skipWs()
+      if (pos < n && s.charAt(pos) == ']') pos += 1
+      else {
+        var idx = 0
+        var done = false
+        while (!done) {
+          out += parseRun(idx)
+          idx += 1
+          skipWs()
+          if (pos >= n) err("eof in array")
+          val c = s.charAt(pos); pos += 1
+          if (c == ']') done = true
+          else if (c != ',') err("expected , or ]")
+        }
+      }
+      skipWs()
+      if (pos < n) err("trailing content")
+      out.result()
     }
   }
 

@@ -9,37 +9,79 @@ package graft.text
   * verbatim (extraction-fidelity deviation from the spec's U+FFFD
   * replacement for out-of-range code points). Single pass, no regex.
   *
+  * Hot-path design: name lookup is an open-addressing table probed with
+  * (offset, length) region hashing — no substring, no tuple, no boxing
+  * per '&' encountered (this path runs once per ampersand of every HTML
+  * text node on every executor core).
+  *
   * Reference precedent for a pinned char table:
   * vkit/utility/text/const/whitespace.py, const/delimiter.py.
   */
 object Entities {
 
-  private def parse(packed: String): java.util.HashMap[String, String] = {
-    val m = new java.util.HashMap[String, String](4096)
-    packed.split('\n').foreach { line =>
-      val sp = line.indexOf(' ')
-      val name = line.substring(0, sp)
-      val cps = line.substring(sp + 1).split(',')
-        .map(Integer.parseInt(_, 16))
-      val sb = new java.lang.StringBuilder(4)
-      cps.foreach(sb.appendCodePoint)
-      m.put(name, sb.toString)
+  /** Open-addressing (linear probe) map from entity name to decoded
+    * string, supporting allocation-free region lookups.
+    */
+  private final class RegionMap(entries: Iterator[(String, String)],
+      capacity: Int) {
+    private val mask = capacity - 1
+    private val keys = new Array[String](capacity)
+    private val vals = new Array[String](capacity)
+    var size = 0
+    var maxKeyLen = 0
+    entries.foreach { case (k, v) =>
+      var idx = hashOf(k) & mask
+      while (keys(idx) != null) idx = (idx + 1) & mask
+      keys(idx) = k; vals(idx) = v
+      size += 1
+      if (k.length > maxKeyLen) maxKeyLen = k.length
     }
-    m
+
+    private def hashOf(k: String): Int = {
+      var h = 0
+      var i = 0
+      while (i < k.length) { h = h * 31 + k.charAt(i); i += 1 }
+      h
+    }
+
+    /** Value for s[from, from+len), or null. Allocation-free. */
+    def get(s: String, from: Int, len: Int): String = {
+      var h = 0
+      var i = from
+      val until = from + len
+      while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+      var idx = h & mask
+      var k = keys(idx)
+      while (k != null) {
+        if (k.length == len && s.regionMatches(from, k, 0, len))
+          return vals(idx)
+        idx = (idx + 1) & mask
+        k = keys(idx)
+      }
+      null
+    }
   }
 
+  private def parsePacked(packed: String): Iterator[(String, String)] =
+    packed.split('\n').iterator.map { line =>
+      val sp = line.indexOf(' ')
+      val name = line.substring(0, sp)
+      val sb = new java.lang.StringBuilder(4)
+      line.substring(sp + 1).split(',')
+        .foreach(h => sb.appendCodePoint(Integer.parseInt(h, 16)))
+      (name, sb.toString)
+    }
+
   /** `&name;` entries, keyed without the ';'. */
-  private val full = parse(EntityTable.fullPacked)
+  private val full =
+    new RegionMap(parsePacked(EntityTable.fullPacked), 8192)
 
   /** Historical semicolon-less entries (spec still decodes in text). */
-  private val legacy = parse(EntityTable.legacyPacked)
+  private val legacy =
+    new RegionMap(parsePacked(EntityTable.legacyPacked), 512)
 
-  private val maxNameLen =
-    EntityTable.fullPacked.split('\n').iterator
-      .map(l => l.indexOf(' ')).max // 31
-  private val maxLegacyLen =
-    EntityTable.legacyPacked.split('\n').iterator
-      .map(l => l.indexOf(' ')).max // 6
+  private val maxNameLen = full.maxKeyLen // 31
+  private val maxLegacyLen = legacy.maxKeyLen // 6
 
   def namedCount: Int = full.size
   def legacyCount: Int = legacy.size
@@ -71,13 +113,15 @@ object Entities {
     else if (c >= 'A' && c <= 'F') c - 'A' + 10
     else -1
 
-  /** Longest-match character reference at `s(i) == '&'` scanning no
-    * further than `until`. Returns (decoded, charsConsumed incl. '&'
-    * and any ';'), or null when this is not a decodable reference
-    * (caller emits '&' verbatim and advances by 1).
+  /** Decode the character reference at `s(i) == '&'` (scanning no
+    * further than `until`), appending the decoded text to `sb`.
+    * Returns the number of source chars consumed (incl. '&' and any
+    * ';'), or 0 when this is not a decodable reference (caller emits
+    * '&' verbatim and advances by 1). Allocation-free.
     */
-  def matchRef(s: String, i: Int, until: Int): (String, Int) = {
-    if (i + 1 >= until) return null
+  def refAppend(sb: java.lang.StringBuilder, s: String, i: Int,
+      until: Int): Int = {
+    if (i + 1 >= until) return 0
     if (s.charAt(i + 1) == '#') {
       var j = i + 2
       var cp = 0L
@@ -95,32 +139,32 @@ object Entities {
           any = true; j += 1
         }
       }
-      if (!any) return null
+      if (!any) return 0
       val end = if (j < until && s.charAt(j) == ';') j + 1 else j
       var code = cp.toInt
       if (code >= 0x80 && code <= 0x9F) code = win1252(code - 0x80)
       if (code <= 0 || code >= 0x110000 ||
-        (code >= 0xD800 && code <= 0xDFFF)) null
-      else (new String(Character.toChars(code)), end - i)
+        (code >= 0xD800 && code <= 0xDFFF)) 0
+      else { sb.appendCodePoint(code); end - i }
     } else {
       var j = i + 1
       val lim = math.min(until, i + 1 + maxNameLen)
       while (j < lim && isAlnum(s.charAt(j))) j += 1
-      if (j == i + 1) return null
-      val run = s.substring(i + 1, j)
+      val runLen = j - (i + 1)
+      if (runLen == 0) return 0
       if (j < until && s.charAt(j) == ';') {
-        val v = full.get(run)
-        if (v != null) return (v, run.length + 2)
+        val v = full.get(s, i + 1, runLen)
+        if (v != null) { sb.append(v); return runLen + 2 }
       }
       // spec text-context fallback: longest legacy (semicolon-less)
       // table entry that prefixes the alphanumeric run
-      var len = math.min(run.length, maxLegacyLen)
+      var len = math.min(runLen, maxLegacyLen)
       while (len >= 2) {
-        val v = legacy.get(run.substring(0, len))
-        if (v != null) return (v, len + 1)
+        val v = legacy.get(s, i + 1, len)
+        if (v != null) { sb.append(v); return len + 1 }
         len -= 1
       }
-      null
+      0
     }
   }
 
@@ -140,12 +184,18 @@ object Entities {
         if (!Normalizer.isWs(c)) nonBlank = true
         i += 1
       } else {
-        val m = matchRef(s, i, until)
-        if (m == null) { sb.append('&'); nonBlank = true; i += 1 }
+        val before = sb.length
+        val consumed = refAppend(sb, s, i, until)
+        if (consumed == 0) { sb.append('&'); nonBlank = true; i += 1 }
         else {
-          sb.append(m._1)
-          if (!Normalizer.isBlank(m._1)) nonBlank = true
-          i += m._2
+          if (!nonBlank) {
+            var k = before
+            while (k < sb.length && !nonBlank) {
+              if (!Normalizer.isWs(sb.charAt(k))) nonBlank = true
+              k += 1
+            }
+          }
+          i += consumed
         }
       }
     }
@@ -163,9 +213,9 @@ object Entities {
       val c = s.charAt(i)
       if (c != '&') { sb.append(c); i += 1 }
       else {
-        val m = matchRef(s, i, n)
-        if (m == null) { sb.append('&'); i += 1 }
-        else { sb.append(m._1); i += m._2 }
+        val consumed = refAppend(sb, s, i, n)
+        if (consumed == 0) { sb.append('&'); i += 1 }
+        else i += consumed
       }
     }
     sb.toString
