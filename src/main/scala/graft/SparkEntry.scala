@@ -34,14 +34,17 @@ object SparkEntry {
     * Only docs with >16 words are used (the published NumWordsRules tree
     * needs that for isolated-block content; see Boilerplate.isContent).
     */
-  def htmlFrame(text: String): String =
+  private val htmlFramePrefix =
     "<!DOCTYPE html><html><head><title>Doc</title>" +
       "<script>var x = 1 < 2; //</script><style>p{}</style></head>" +
       "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-      "<a href=\"/b\">More</a></nav>" +
-      "<p>" + text + "</p>" +
-      "<footer><a href=\"/tos\">terms</a> <a href=\"/pp\">privacy</a>" +
+      "<a href=\"/b\">More</a></nav><p>"
+  private val htmlFrameSuffix =
+    "</p><footer><a href=\"/tos\">terms</a> <a href=\"/pp\">privacy</a>" +
       "</footer></body></html>"
+
+  def htmlFrame(text: String): String =
+    htmlFramePrefix + text + htmlFrameSuffix
 
   /** Deterministic PDF-runs framing: words laid out 6 per line, emission
     * order reversed (so XY-cut must restore reading order).
@@ -163,6 +166,20 @@ object SparkEntry {
         }.toDF("doc_id", "extractor", "extracted")
     },
 
+    // COLLATE-1 second opinion: html primary accepted for >16-word
+    // docs; for shorter docs the boilerplate classifier drops all
+    // content, so the collate falls back to plain extraction of the
+    // raw payload — both bands oracle-checked
+    "x_collate" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, t) =>
+          val ex = Extractor.extractCollated("assistant", "",
+            htmlFrame(t))
+          (id, ex.extractor, ex.extracted_text)
+        }.toDF("doc_id", "extractor", "extracted")
+    },
+
     "x_tool_docs" -> { (s, dir) =>
       import s.implicits._
       docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
@@ -204,6 +221,31 @@ object SparkEntry {
         .groupBy($"extractor")
         .agg(count(lit(1)).as("kept"),
           sum(round($"quality" * 10, 0).cast("long")).as("sum_q10"))
+    },
+
+    // the same composed pipeline, but ASSEMBLED FROM A JSON CONFIG
+    // (reference: PipelineStepFactory, vkit/pipeline/interface.py:
+    // 133-148) — must match x_pipeline_e2e's oracle exactly, proving
+    // config assembly adds no semantic or plan drift
+    "x_config_pipeline" -> { (s, dir) =>
+      val config =
+        """[
+          {"step": "extract", "config": {"ordered": false}},
+          {"step": "filter", "config": {"expr": "extracted_text <> ''"}},
+          {"step": "quality_score",
+           "config": {"col": "extracted_text", "out": "quality"}},
+          {"step": "dedupe_exact",
+           "config": {"key": "extracted_text",
+                      "order": ["conv_id", "turn_idx"],
+                      "out": "dup_rank"}},
+          {"step": "filter",
+           "config": {"expr": "dup_rank = 1 AND quality >= 0.5"}},
+          {"step": "agg",
+           "config": {"group": ["extractor"],
+                      "exprs": ["count(1) AS kept",
+            "sum(cast(round(quality * 10, 0) AS long)) AS sum_q10"]}}
+        ]"""
+      graft.pipe.ConfigPipeline.run(s, docTurns(s, dir), config, "cfg")
     },
 
     // lineage invariants for a pipeline run over docTurns, oracle-
@@ -448,17 +490,40 @@ object SparkEntry {
 
     "t_lang_id" -> { (s, dir) =>
       import s.implicits._
-      // LANGID-1: CJK chars -> zh; else English stopword ratio >= 0.02
-      // -> en; else other (frozen heuristic, mirrored in the oracle)
-      docs(s, dir)
-        .withColumn("toks", split($"text", " "))
-        .withColumn("sw", size(expr(
-          "filter(toks, x -> x IN ('the', 'a'))")))
-        .select($"doc_id",
-          when($"text".rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-            .when($"sw".cast("double") / size($"toks") >= 0.02, "en")
-            .otherwise("other").as("lang_pred"))
+      // LANGID-2 (see ops/Lexicon.scala): script presence then
+      // stopword-ratio argmax over en/de/fr/es; lex_hash pins the
+      // exact dictionary contents into the correctness gate
+      docs(s, dir).select($"doc_id",
+        graft.ops.Lexicon.langId($"text").as("lang_pred"),
+        lit(graft.ops.Lexicon.collection.contentHash).as("lex_hash"))
     })
+
+  /** Shared oracle for the composed pipeline (hard-wired and
+    * config-assembled variants must both reproduce it).
+    */
+  private val pipelineE2eSql: String =
+    "WITH exp AS (SELECT 'c' || (doc_id % 100) AS conv_id, " +
+      "(doc_id // 100)::INT AS turn_idx, " +
+      s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
+      "FROM documents), " +
+      "q AS (SELECT conv_id, turn_idx, extractor, extracted, " +
+      "(CASE WHEN len(string_split(extracted, ' ')) BETWEEN 20 AND " +
+      "1000 THEN 0.4 WHEN len(string_split(extracted, ' ')) >= 5 " +
+      "THEN 0.2 ELSE 0.0 END) + (CASE WHEN " +
+      "len(list_filter(string_split(extracted, ' '), x -> x IN " +
+      "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
+      "len(string_split(extracted, ' ')) BETWEEN 0.01 AND 0.4 " +
+      "THEN 0.3 ELSE 0.0 END) + (CASE WHEN " +
+      "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
+      "len(string_split(extracted, ' ')) >= 0.3 THEN 0.3 WHEN " +
+      "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
+      "len(string_split(extracted, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 " +
+      "END) AS quality FROM exp WHERE extracted <> ''), " +
+      "d AS (SELECT *, row_number() OVER (PARTITION BY md5(extracted) " +
+      "ORDER BY conv_id, turn_idx) AS dup_rank FROM q) " +
+      "SELECT extractor, count(*) AS kept, " +
+      "sum(round(quality * 10)::BIGINT)::BIGINT AS sum_q10 FROM d " +
+      "WHERE dup_rank = 1 AND quality >= 0.5 GROUP BY 1"
 
   // ---- oracle SQL (DuckDB dialect, same parquet tables) -----------------
 
@@ -480,29 +545,10 @@ object SparkEntry {
         s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
         "FROM documents"),
 
-    "x_pipeline_e2e" ->
-      ("WITH exp AS (SELECT 'c' || (doc_id % 100) AS conv_id, " +
-        "(doc_id // 100)::INT AS turn_idx, " +
-        s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
-        "FROM documents), " +
-        "q AS (SELECT conv_id, turn_idx, extractor, extracted, " +
-        "(CASE WHEN len(string_split(extracted, ' ')) BETWEEN 20 AND " +
-        "1000 THEN 0.4 WHEN len(string_split(extracted, ' ')) >= 5 " +
-        "THEN 0.2 ELSE 0.0 END) + (CASE WHEN " +
-        "len(list_filter(string_split(extracted, ' '), x -> x IN " +
-        "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
-        "len(string_split(extracted, ' ')) BETWEEN 0.01 AND 0.4 " +
-        "THEN 0.3 ELSE 0.0 END) + (CASE WHEN " +
-        "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
-        "len(string_split(extracted, ' ')) >= 0.3 THEN 0.3 WHEN " +
-        "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
-        "len(string_split(extracted, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 " +
-        "END) AS quality FROM exp WHERE extracted <> ''), " +
-        "d AS (SELECT *, row_number() OVER (PARTITION BY md5(extracted) " +
-        "ORDER BY conv_id, turn_idx) AS dup_rank FROM q) " +
-        "SELECT extractor, count(*) AS kept, " +
-        "sum(round(quality * 10)::BIGINT)::BIGINT AS sum_q10 FROM d " +
-        "WHERE dup_rank = 1 AND quality >= 0.5 GROUP BY 1"),
+    "x_pipeline_e2e" -> pipelineE2eSql,
+
+    // config-assembled pipeline must reproduce the identical rollup
+    "x_config_pipeline" -> pipelineE2eSql,
 
     "x_lineage" ->
       ("SELECT (SELECT count(*) FROM documents) + (SELECT count(*) " +
@@ -513,6 +559,13 @@ object SparkEntry {
     "x_tool_docs" ->
       ("SELECT doc_id, 'tool' AS extractor, text AS extracted " +
         "FROM documents"),
+
+    "x_collate" ->
+      ("SELECT doc_id, CASE WHEN len(string_split(text, ' ')) > 16 " +
+        "THEN 'html' ELSE 'plain_fallback' END AS extractor, " +
+        "CASE WHEN len(string_split(text, ' ')) > 16 THEN text " +
+        s"ELSE '$htmlFramePrefix' || text || '$htmlFrameSuffix' END " +
+        "AS extracted FROM documents"),
 
     "q_agg_fold" ->
       ("SELECT l_returnflag, l_linestatus, " +
@@ -722,10 +775,34 @@ object SparkEntry {
         "FROM lineitem JOIN med USING (l_returnflag) GROUP BY 1"),
 
     "t_lang_id" ->
-      ("SELECT doc_id, CASE " +
+      ("WITH t AS (SELECT doc_id, text, " +
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "r AS (SELECT doc_id, text, toks, " +
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to'," +
+        "'in','is','it','you','that','he','was'))) * 1.0 / " +
+        "greatest(len(toks), 1) AS r_en, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und'," +
+        "'ist','ich','nicht','ein','eine','mit','auf','zu'))) * 1.0 / " +
+        "greatest(len(toks), 1) AS r_de, " +
+        "len(list_filter(toks, x -> x IN ('le','la','les','et','un'," +
+        "'une','est','que','pour','dans','ce','pas'))) * 1.0 / " +
+        "greatest(len(toks), 1) AS r_fr, " +
+        "len(list_filter(toks, x -> x IN ('el','los','las','y','es'," +
+        "'en','por','con','para','una','como','su'))) * 1.0 / " +
+        "greatest(len(toks), 1) AS r_es FROM t) " +
+        "SELECT doc_id, CASE " +
+        "WHEN len(toks) = 0 THEN 'other' " +
+        "WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja' " +
+        "WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko' " +
         "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
-        "WHEN len(list_filter(string_split(text, ' '), " +
-        "x -> x IN ('the', 'a'))) * 1.0 / " +
-        "len(string_split(text, ' ')) >= 0.02 THEN 'en' " +
-        "ELSE 'other' END AS lang_pred FROM documents"))
+        "WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
+        "WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es AND " +
+        "r_en >= 0.03 THEN 'en' " +
+        "WHEN r_de >= r_fr AND r_de >= r_es AND r_de >= 0.03 " +
+        "THEN 'de' " +
+        "WHEN r_fr >= r_es AND r_fr >= 0.03 THEN 'fr' " +
+        "WHEN r_es >= 0.03 THEN 'es' ELSE 'other' END AS lang_pred, " +
+        "'1ae5c9b63faf8888188da2b5682443411b2ddee1e77d29d31479883ba" +
+        "4626b52' AS lex_hash FROM r"))
 }

@@ -124,6 +124,46 @@ object Extractor {
 
   def extract(t: Turn): Extraction = extract(t.role, t.tool, t.text)
 
+  /** COLLATE-1 accept threshold: a primary extraction with fewer
+    * whitespace tokens than this is degenerate.
+    */
+  val MinContentTokens = 5
+
+  /** Collate with a second opinion — the reference's multi-engine
+    * func_collate (vkit/engine/interface.py:230-270) as a deterministic
+    * two-candidate rule (COLLATE-1, frozen; the x_collate oracle
+    * mirrors it): run the sniffed extractor; if its extracted text has
+    * < MinContentTokens whitespace tokens and the primary is not
+    * already plain, fall back to plain extraction of the raw payload,
+    * tagged extractor = "plain_fallback". Typical win: a page whose
+    * content the boilerplate classifier drops entirely (short docs
+    * framed in nav/footer chrome) still yields its raw text.
+    */
+  def extractCollated(role: String, tool: String,
+      text: String): Extraction = {
+    val primary = extract(role, tool, text)
+    if (primary.extractor == "plain" ||
+      wsTokenCount(primary.extracted_text) >= MinContentTokens) primary
+    else {
+      val payload = if (text == null) "" else text
+      finish("plain", payload, plainSpans(payload), primary.error)
+        .copy(extractor = "plain_fallback")
+    }
+  }
+
+  private def wsTokenCount(s: String): Int = {
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Normalizer.isWs(s.charAt(i))
+      if (!ws && !inTok) n += 1
+      inTok = !ws
+      i += 1
+    }
+    n
+  }
+
   private def finish(kind: String, payload: String, spans: Seq[Span],
       error: String): Extraction = {
     // Render each block once; drop blocks that render empty so

@@ -1,0 +1,126 @@
+package graft.pipe
+
+import graft.schema.Turn
+import graft.text.Json
+import graft.text.Json._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven pipeline assembly — the reference builds its step DAG
+  * from a JSON list with per-step config (vkit/pipeline/interface.py:
+  * 133-148, PipelineStepFactory) and we do the same over DataFrames:
+  *
+  *   [{"step": "extract", "config": {"ordered": false}},
+  *    {"step": "filter",  "config": {"expr": "extracted_text <> ''"}},
+  *    {"step": "quality_score", "config": {"out": "quality"}},
+  *    {"step": "dedupe_exact",  "config": {"key": "extracted_text",
+  *                                "order": ["conv_id", "turn_idx"]}},
+  *    ...]
+  *
+  * Each registry entry maps its JSON config to a DataFrame -> DataFrame
+  * transform; the composed pipeline stays fully declarative (one
+  * Catalyst plan — config assembly adds NO extra stages or shuffles vs
+  * the hand-written equivalent). Filters/aggregations use ANSI SQL
+  * expression strings (Spark `expr`), so a config can express anything
+  * the DataFrame API can, while frozen-spec transforms (QUAL-1 scoring)
+  * are named steps that reuse the spec implementation.
+  */
+object ConfigPipeline {
+
+  final class ConfigError(msg: String) extends Exception(msg)
+
+  private def str(o: JObj, k: String, default: String = null): String =
+    o.get(k) match {
+      case Some(JStr(v, _, _)) => v
+      case None if default != null => default
+      case _ => throw new ConfigError(s"missing string field '$k'")
+    }
+
+  private def strs(o: JObj, k: String): Seq[String] = o.get(k) match {
+    case Some(JArr(items)) => items.map {
+      case JStr(v, _, _) => v
+      case _ => throw new ConfigError(s"'$k' must be an array of strings")
+    }
+    case _ => throw new ConfigError(s"missing array field '$k'")
+  }
+
+  private def bool(o: JObj, k: String, default: Boolean): Boolean =
+    o.get(k) match {
+      case Some(JBool(v)) => v
+      case None => default
+      case _ => throw new ConfigError(s"'$k' must be a boolean")
+    }
+
+  /** Registered transform steps (everything after the extract source). */
+  val registry: Map[String, (SparkSession, JObj) => DataFrame => DataFrame] =
+    Map(
+      // row filter by ANSI SQL predicate
+      "filter" -> { (_, cfg) =>
+        val e = str(cfg, "expr")
+        df => df.filter(expr(e))
+      },
+      // generic computed column by ANSI SQL expression
+      "with_column" -> { (_, cfg) =>
+        val name = str(cfg, "name")
+        val e = str(cfg, "expr")
+        df => df.withColumn(name, expr(e))
+      },
+      // frozen QUAL-1 quality score over a text column
+      "quality_score" -> { (_, cfg) =>
+        val colName = str(cfg, "col", "extracted_text")
+        val out = str(cfg, "out", "quality")
+        df => df.withColumn(out,
+          graft.ops.TextStats.qualityScore(col(colName)))
+      },
+      // exact-dup rank over md5(key), deterministic winner by `order`
+      "dedupe_exact" -> { (_, cfg) =>
+        val key = str(cfg, "key", "extracted_text")
+        val out = str(cfg, "out", "dup_rank")
+        val order = strs(cfg, "order").map(col)
+        df => df.withColumn(out, row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col(key))).orderBy(order: _*)))
+      },
+      // group-by aggregation with SQL aggregate expressions
+      "agg" -> { (_, cfg) =>
+        val group = strs(cfg, "group").map(col)
+        val exprs = strs(cfg, "exprs").map(expr)
+        df => df.groupBy(group: _*).agg(exprs.head, exprs.tail: _*)
+      },
+      // column projection
+      "select" -> { (_, cfg) =>
+        val cols = strs(cfg, "cols").map(col)
+        df => df.select(cols: _*)
+      })
+
+  /** Parse a pipeline config; first step must be "extract" (the source:
+    * Job.run over the input turns), the rest come from the registry.
+    */
+  def run(spark: SparkSession, turns: Dataset[Turn], config: String,
+      runId: String): DataFrame = {
+    val steps = Json.parse(config) match {
+      case JArr(items) => items.map {
+        case o @ JObj(_) =>
+          val name = str(o, "step")
+          val cfg = o.get("config") match {
+            case Some(c @ JObj(_)) => c
+            case None => JObj(Vector.empty)
+            case _ => throw new ConfigError("'config' must be an object")
+          }
+          (name, cfg)
+        case _ => throw new ConfigError("each step must be an object")
+      }
+      case _ => throw new ConfigError("pipeline config must be an array")
+    }
+    if (steps.isEmpty || steps.head._1 != "extract")
+      throw new ConfigError("first step must be 'extract'")
+    val ordered = bool(steps.head._2, "ordered", default = true)
+    val (out, _) = Job.run(spark, turns, runId, orderOutput = ordered)
+    steps.tail.foldLeft(out.toDF()) { case (df, (name, cfg)) =>
+      val stage = registry.getOrElse(name, throw new ConfigError(
+        s"unknown step '$name'; known: extract, " +
+          registry.keys.toSeq.sorted.mkString(", ")))
+      stage(spark, cfg)(df)
+    }
+  }
+}

@@ -96,6 +96,16 @@ object SpanOps {
     if (spans.isEmpty) None
     else Some(Span(spans.map(_.begin).min, spans.map(_.end).max, "block"))
 
+  /** Context dilation: expand every span by `k` chars on each side,
+    * clip to [0, limit), and merge the overlaps — snippet windows
+    * around matches (vkit/element/box.py:205-219 to_dilated_box).
+    */
+  def dilate(spans: Seq[Span], k: Int, limit: Int): Seq[Span] = {
+    require(k >= 0, "dilation must be non-negative")
+    mergeTouching(spans.map(s =>
+      Span(math.max(0, s.begin - k), math.min(limit, s.end + k), s.kind)))
+  }
+
   /** Does any span in `a` overlap any span in `b`? (STRtree overlap
     * probe, vkit/element/box.py:419-428, via sorted sweep.)
     */

@@ -139,4 +139,22 @@ class ExtractorSpec extends AnyFunSuite {
     assert(exp.spans.map(_.begin).toSet.size == exp.spans.length)
     assert(exp.extracted_text == "a\nb")
   }
+
+  test("COLLATE-1: degenerate primary falls back to plain") {
+    def frame(t: String) =
+      "<html><body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>" +
+        s"<p>$t</p><footer><a href='/t'>tos</a></footer></body></html>"
+    // long content: html primary accepted
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val a = Extractor.extractCollated("assistant", "", frame(long))
+    assert(a.extractor == "html" && a.extracted_text == long)
+    // short content: boilerplate drops it -> plain fallback over raw
+    val b = Extractor.extractCollated("assistant", "", frame("tiny text"))
+    assert(b.extractor == "plain_fallback")
+    assert(b.extracted_text.contains("tiny text") &&
+      b.extracted_text.contains("<nav>"))
+    // plain primary is always accepted, even when short
+    val c = Extractor.extractCollated("user", "", "hi")
+    assert(c.extractor == "plain" && c.extracted_text == "hi")
+  }
 }

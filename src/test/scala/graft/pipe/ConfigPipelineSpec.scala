@@ -1,0 +1,84 @@
+package graft.pipe
+
+import graft.synth.GoldenData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val config =
+    """[
+      {"step": "extract", "config": {"ordered": false}},
+      {"step": "filter", "config": {"expr": "extracted_text <> ''"}},
+      {"step": "quality_score",
+       "config": {"col": "extracted_text", "out": "quality"}},
+      {"step": "dedupe_exact",
+       "config": {"key": "extracted_text",
+                  "order": ["conv_id", "turn_idx"], "out": "dup_rank"}},
+      {"step": "filter",
+       "config": {"expr": "dup_rank = 1 AND quality >= 0.5"}},
+      {"step": "agg",
+       "config": {"group": ["extractor"],
+                  "exprs": ["count(1) AS kept",
+        "sum(cast(round(quality * 10, 0) AS long)) AS sum_q10"]}}
+    ]"""
+
+  test("config-assembled pipeline equals the hand-written one") {
+    import spark.implicits._
+    val turns = spark.createDataset(GoldenData.inputTurns)
+
+    val fromConfig = ConfigPipeline.run(spark, turns, config, "cfg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    // hand-written equivalent (the x_pipeline_e2e shape)
+    val (out, _) = Job.run(spark, turns, "wired", orderOutput = false)
+    val scored = out.toDF()
+      .filter($"extracted_text" =!= "")
+      .withColumn("quality",
+        graft.ops.TextStats.qualityScore($"extracted_text"))
+      .withColumn("dup_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"extracted_text"))
+          .orderBy($"conv_id", $"turn_idx")))
+    val wired = scored.filter($"dup_rank" === 1 && $"quality" >= 0.5)
+      .groupBy($"extractor")
+      .agg(count(lit(1)).as("kept"),
+        sum(round($"quality" * 10, 0).cast("long")).as("sum_q10"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    assert(fromConfig == wired && fromConfig.nonEmpty)
+  }
+
+  test("select and with_column steps compose") {
+    import spark.implicits._
+    val turns = spark.createDataset(GoldenData.inputTurns)
+    val cfg =
+      """[{"step": "extract", "config": {"ordered": false}},
+          {"step": "with_column",
+           "config": {"name": "nc", "expr": "length(extracted_text)"}},
+          {"step": "select", "config": {"cols": ["conv_id", "nc"]}}]"""
+    val df = ConfigPipeline.run(spark, turns, cfg, "cfg2")
+    assert(df.columns.toSeq == Seq("conv_id", "nc"))
+    assert(df.count() == Job.dedupe(spark, turns).count())
+  }
+
+  test("bad configs are rejected with a clear error") {
+    import spark.implicits._
+    val turns = spark.createDataset(GoldenData.inputTurns.take(2))
+    def fails(cfg: String, needle: String): Unit = {
+      val e = intercept[ConfigPipeline.ConfigError](
+        ConfigPipeline.run(spark, turns, cfg, "bad"))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    fails("""{"step": "extract"}""", "must be an array")
+    fails("""[{"step": "filter", "config": {"expr": "1=1"}}]""",
+      "first step must be 'extract'")
+    fails("""[{"step": "extract"}, {"step": "nope"}]""", "unknown step")
+    fails("""[{"step": "extract"}, {"step": "filter"}]""",
+      "missing string field 'expr'")
+  }
+}

@@ -115,6 +115,14 @@ class SpanOpsSpec extends AnyFunSuite {
     assert(bounding(Seq()) == None)
   }
 
+  test("dilate expands, clips, and merges") {
+    // +-2 context windows; middle spans merge, ends clip
+    assert(dilate(Seq(sp(1, 3), sp(6, 8), sp(20, 22)), 2, 23) ==
+      Seq(sp(0, 10), sp(18, 23)))
+    assert(dilate(Seq(sp(4, 6)), 0, 100) == Seq(sp(4, 6)))
+    assert(dilate(Seq(), 3, 10) == Seq())
+  }
+
   test("anyOverlap") {
     assert(anyOverlap(Seq(sp(0, 5)), Seq(sp(4, 6))))
     assert(!anyOverlap(Seq(sp(0, 5)), Seq(sp(5, 6))))
