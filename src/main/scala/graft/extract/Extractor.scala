@@ -99,11 +99,20 @@ object Extractor {
     */
   def extract(role: String, tool: String, text: String): Extraction = {
     val payload = if (text == null) "" else text
+    extractKind(route(role, if (tool == null) "" else tool, payload),
+      tool, payload)
+  }
+
+  /** Run one specific extractor kind ("tool" | "html" | "pdf" |
+    * "plain") on the payload, with the same never-throws fallback.
+    */
+  def extractKind(kind: String, tool: String, text: String): Extraction = {
+    val payload = if (text == null) "" else text
     try {
-      route(role, if (tool == null) "" else tool, payload) match {
+      kind match {
         case "tool" =>
-          val (kind, spans) = ToolSpans.extract(tool, payload)
-          finish(kind, payload, spans, "")
+          val (k, spans) = ToolSpans.extract(tool, payload)
+          finish(k, payload, spans, "")
         case "html" =>
           val (extracted, spans) = Boilerplate.extract(payload, domLimits)
           // block texts are non-empty by construction, so this equals
@@ -149,6 +158,29 @@ object Extractor {
       finish("plain", payload, plainSpans(payload), primary.error)
         .copy(extractor = "plain_fallback")
     }
+  }
+
+  /** Deterministic engine ensemble — the reference assembles engine
+    * aggregators from a JSON [{type, weight, config}] list
+    * (vkit/engine/interface.py:279-411) and samples by weight; here
+    * candidates run in DESCENDING WEIGHT order (stable on ties) and the
+    * first non-degenerate result (COLLATE-1 rule) wins; if every
+    * candidate is degenerate, the last one tried is returned. Candidate
+    * types: "sniffed" (role/content routing) or a forced kind.
+    */
+  def extractEnsemble(candidates: Seq[(String, Double)], role: String,
+      tool: String, text: String): Extraction = {
+    require(candidates.nonEmpty, "ensemble needs at least one candidate")
+    val ordered = candidates.sortBy(-_._2)
+    var last: Extraction = null
+    for ((typ, _) <- ordered) {
+      val ex =
+        if (typ == "sniffed") extract(role, tool, text)
+        else extractKind(typ, tool, text)
+      if (wsTokenCount(ex.extracted_text) >= MinContentTokens) return ex
+      last = ex
+    }
+    last
   }
 
   private def wsTokenCount(s: String): Int = {

@@ -114,8 +114,33 @@ object ConfigPipeline {
     }
     if (steps.isEmpty || steps.head._1 != "extract")
       throw new ConfigError("first step must be 'extract'")
-    val ordered = bool(steps.head._2, "ordered", default = true)
-    val (out, _) = Job.run(spark, turns, runId, orderOutput = ordered)
+    val extractCfg = steps.head._2
+    val ordered = bool(extractCfg, "ordered", default = true)
+    // optional engine ensemble: [{"type": ..., "weight": ...}] — the
+    // reference's EngineExecutorAggregatorFactory JSON shape
+    // (vkit/engine/interface.py:279-411)
+    val extractFn: Turn => graft.schema.Extraction =
+      extractCfg.get("ensemble") match {
+        case None => graft.extract.Extractor.extract
+        case Some(JArr(items)) =>
+          val spec = items.map {
+            case o @ JObj(_) =>
+              val typ = str(o, "type")
+              val w = o.get("weight") match {
+                case Some(JNum(v)) => v
+                case None => 1.0
+                case _ => throw new ConfigError("'weight' must be a number")
+              }
+              (typ, w)
+            case _ => throw new ConfigError(
+              "each ensemble entry must be an object")
+          }
+          t => graft.extract.Extractor.extractEnsemble(spec, t.role,
+            t.tool, t.text)
+        case _ => throw new ConfigError("'ensemble' must be an array")
+      }
+    val (out, _) = Job.run(spark, turns, runId, orderOutput = ordered,
+      extractFn = extractFn)
     steps.tail.foldLeft(out.toDF()) { case (df, (name, cfg)) =>
       val stage = registry.getOrElse(name, throw new ConfigError(
         s"unknown step '$name'; known: extract, " +

@@ -60,7 +60,7 @@ object Job {
     * partitions; per-partition lineage via accumulator.
     */
   private def extractSorted(spark: SparkSession, sorted: Dataset[Turn],
-      runId: String)
+      runId: String, extractFn: Turn => graft.schema.Extraction)
       : (Dataset[ExtractedTurn], CollectionAccumulator[LineageRow]) = {
     import spark.implicits._
     val acc = spark.sparkContext.collectionAccumulator[LineageRow](
@@ -83,7 +83,7 @@ object Job {
           prevConv = t.conv_id
           prevTurn = t.turn_idx
           rowsOut += 1
-          val ex = Extractor.extract(t)
+          val ex = extractFn(t)
           if (ex.error.nonEmpty) errors += 1
           Some(ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool,
             ex.extractor, ex.extracted_text, ex.spans, ex.spans.length,
@@ -114,7 +114,8 @@ object Job {
     * sampling pass; output clustered but not globally ordered).
     */
   def run(spark: SparkSession, turns: Dataset[Turn], runId: String,
-      orderOutput: Boolean = true, partitions: Int = 0)
+      orderOutput: Boolean = true, partitions: Int = 0,
+      extractFn: Turn => graft.schema.Extraction = Extractor.extract)
       : (Dataset[ExtractedTurn], CollectionAccumulator[LineageRow]) = {
     val p =
       if (partitions > 0) partitions
@@ -127,7 +128,7 @@ object Job {
     val sorted = keyed.sortWithinPartitions(
       col("conv_id"), col("turn_idx"), col("ts").desc,
       length(col("text")).desc, col("text").desc)
-    extractSorted(spark, sorted, runId)
+    extractSorted(spark, sorted, runId, extractFn)
   }
 
   /** Lineage rows collected so far (call after an action).

@@ -52,6 +52,35 @@ object SpanOps {
     out.toSeq
   }
 
+  /** Unionize with provenance: merge overlapping/touching spans and
+    * report, for every INPUT span, the index of the merged span that
+    * absorbed it — the 1D form of the reference's unionize_polygons,
+    * which returns merged polygons plus the source->merged assignment
+    * by max overlap (vkit/element/polygon.py unionize + the argmax
+    * mapping in page_text_region). In 1D every input is fully contained
+    * in exactly one merged span, so max-overlap == containment.
+    *
+    * Returns (merged spans ascending, provenance) with
+    * provenance(i) = merged index of input i (input order preserved).
+    */
+  def unionizeWithProvenance(spans: Seq[Span])
+      : (Seq[Span], Seq[Int]) = {
+    if (spans.isEmpty) return (Seq.empty, Seq.empty)
+    val idx = spans.zipWithIndex.sortBy { case (s, i) => (s.begin, s.end, i) }
+    val merged = scala.collection.mutable.ArrayBuffer[Span]()
+    val prov = new Array[Int](spans.length)
+    var cur = idx.head._1
+    prov(idx.head._2) = 0
+    for ((x, i) <- idx.tail) {
+      if (x.begin <= cur.end)
+        cur = Span(cur.begin, math.max(cur.end, x.end), cur.kind)
+      else { merged += cur; cur = x }
+      prov(i) = merged.length
+    }
+    merged += cur
+    (merged.toSeq, prov.toSeq)
+  }
+
   /** Intersection of two span sets (both need not be merged). */
   def intersect(a: Seq[Span], b: Seq[Span]): Seq[Span] = {
     val as = mergeTouching(sorted(a))

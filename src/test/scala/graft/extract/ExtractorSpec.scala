@@ -157,4 +157,27 @@ class ExtractorSpec extends AnyFunSuite {
     val c = Extractor.extractCollated("user", "", "hi")
     assert(c.extractor == "plain" && c.extracted_text == "hi")
   }
+
+  test("ensemble: weight order, first non-degenerate wins") {
+    def frame(t: String) =
+      "<html><body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>" +
+        s"<p>$t</p><footer><a href='/t'>tos</a></footer></body></html>"
+    val short = frame("tiny text")
+    // html outranks plain but is degenerate here -> plain wins
+    val a = Extractor.extractEnsemble(
+      Seq(("html", 1.0), ("plain", 0.5)), "assistant", "", short)
+    assert(a.extractor == "plain" && a.extracted_text.contains("tiny"))
+    // plain outranks html by weight even when listed second
+    val long = frame((1 to 20).map(i => s"w$i").mkString(" "))
+    val b = Extractor.extractEnsemble(
+      Seq(("html", 0.2), ("plain", 0.9)), "assistant", "", long)
+    assert(b.extractor == "plain") // raw markup, but non-degenerate
+    val c = Extractor.extractEnsemble(
+      Seq(("html", 0.9), ("plain", 0.2)), "assistant", "", long)
+    assert(c.extractor == "html")
+    // all degenerate -> last tried returned
+    val d = Extractor.extractEnsemble(
+      Seq(("html", 1.0), ("plain", 0.5)), "assistant", "", frame(""))
+    assert(d.extractor == "plain")
+  }
 }

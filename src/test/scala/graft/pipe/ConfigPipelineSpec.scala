@@ -66,6 +66,26 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(df.count() == Job.dedupe(spark, turns).count())
   }
 
+  test("ensemble extract step from config") {
+    import spark.implicits._
+    val turns = spark.createDataset(GoldenData.inputTurns)
+    val cfg =
+      """[{"step": "extract",
+           "config": {"ordered": false,
+             "ensemble": [{"type": "sniffed", "weight": 1.0},
+                          {"type": "plain", "weight": 0.5}]}},
+          {"step": "agg",
+           "config": {"group": ["extractor"],
+                      "exprs": ["count(1) AS n"]}}]"""
+    val counts = ConfigPipeline.run(spark, turns, cfg, "ens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the boilerplate-only edge turn now lands on plain instead of
+    // empty html output; overall extractor mix still dominated by the
+    // sniffed routes
+    assert(counts.values.sum == Job.dedupe(spark, turns).count())
+    assert(counts.contains("plain") && counts.contains("html"))
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))

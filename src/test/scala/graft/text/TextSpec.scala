@@ -115,6 +115,14 @@ class SpanOpsSpec extends AnyFunSuite {
     assert(bounding(Seq()) == None)
   }
 
+  test("unionize with provenance maps every input to its merged span") {
+    val in = Seq(sp(10, 12), sp(0, 3), sp(2, 5), sp(11, 14), sp(20, 21))
+    val (merged, prov) = unionizeWithProvenance(in)
+    assert(merged == Seq(sp(0, 5), sp(10, 14), sp(20, 21)))
+    assert(prov == Seq(1, 0, 0, 1, 2))
+    assert(unionizeWithProvenance(Seq()) == ((Seq(), Seq())))
+  }
+
   test("dilate expands, clips, and merges") {
     // +-2 context windows; middle spans merge, ends clip
     assert(dilate(Seq(sp(1, 3), sp(6, 8), sp(20, 22)), 2, 23) ==
