@@ -72,9 +72,10 @@ object EmbeddingDedup {
       .select($"p.a".as("id_a"), $"p.b".as("id_b"))
       .distinct()
 
-    // exact verification on candidates only
+    // exact verification on candidates only (no .distinct() on the
+    // semi-join probe side — saves a shuffle)
     val candIds = pairs
-      .select(explode(array($"id_a", $"id_b")).as("id")).distinct()
+      .select(explode(array($"id_a", $"id_b")).as("id"))
     val vecs = corpus.join(candIds, Seq("id"), "left_semi")
 
     pairs

@@ -133,7 +133,7 @@ object MinHashDedup {
     * alongside `nearDuplicates` on the same inputs.
     */
   def oversizedBuckets(spark: SparkSession, docs: Dataset[(Long, String)],
-      shingleK: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      shingleK: Int = 3, numPerm: Int = 64, bands: Int = 16,
       bucketCap: Int = 64,
       shingler: String => Set[Long] = null): DataFrame = {
     import spark.implicits._
@@ -150,7 +150,7 @@ object MinHashDedup {
     * comparability.
     */
   def nearDuplicates(spark: SparkSession, docs: Dataset[(Long, String)],
-      shingleK: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      shingleK: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, bucketCap: Int = 64,
       shingler: String => Set[Long] = null): DataFrame = {
     import spark.implicits._
@@ -183,8 +183,10 @@ object MinHashDedup {
     // exact verification: recompute shingles ONLY for candidate docs
     // (semi-join on id; AQE broadcasts the candidate set when small),
     // so corpus-wide shingle sets never shuffle
+    // no .distinct() — the left_semi probe side needs no dedup, and
+    // skipping it saves a whole shuffle stage
     val candIds = pairs
-      .select(explode(array($"id_a", $"id_b")).as("id")).distinct()
+      .select(explode(array($"id_a", $"id_b")).as("id"))
     val sh = docs.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]

@@ -58,7 +58,7 @@ class MinHashDedupSpec extends AnyFunSuite {
     import spark.implicits._
     // 100k identical docs -> every (band, bh) bucket holds 100k ids;
     // the count pass must prune them all BEFORE collect_list (pre-fix
-    // this built 32 lists of 100k elements in single agg buffers)
+    // this built per-band lists of 100k elements in single agg buffers)
     val n = 100000
     val corpus = spark.range(n)
       .select($"id", lit("w1 w2 w3 w4 w5 w6 w7 w8").as("t"))
@@ -66,7 +66,7 @@ class MinHashDedupSpec extends AnyFunSuite {
     val pairs = MinHashDedup.nearDuplicates(spark, corpus).collect()
     assert(pairs.isEmpty) // all buckets oversized -> dropped, counted
     val dropped = MinHashDedup.oversizedBuckets(spark, corpus).collect()
-    assert(dropped.length == 32 && dropped.forall(_.getLong(2) == n))
+    assert(dropped.length == 16 && dropped.forall(_.getLong(2) == n))
   }
 }
 
