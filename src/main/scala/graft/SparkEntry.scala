@@ -435,27 +435,55 @@ object SparkEntry {
       graft.ops.Ann.bruteForceTopK(s, corpus, queries, k = 3)
     },
 
+    // corpus = embeddings + 3 colinear twins per query vector; the
+    // true top-3 of each query are its twins (cosine ~1.0 vs ~0.5 for
+    // random 64-dim neighbors), so the DuckDB brute-force oracle
+    // independently checks that the index recovers the exact top-k —
+    // the regime approximate indexes are for (near neighbors)
     "t_ann_lsh" -> { (s, dir) =>
       import s.implicits._
-      // corpus = embeddings + 3 colinear twins per query vector; the
-      // true top-3 of each query are its twins (cosine ~1.0 vs ~0.5 for
-      // random 64-dim neighbors), so the DuckDB brute-force oracle
-      // independently checks that LSH candidates recover the exact
-      // top-k — the regime hyperplane LSH is for (near neighbors)
-      val emb = tbl(s, dir, "embeddings")
-      val base = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
-      val queries = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      val twins = emb.filter($"vec_id" < 8)
-        .select($"vec_id", $"embedding",
-          explode(array(lit(1), lit(2), lit(3))).as("sc"))
-        .select(($"vec_id" * 10 + $"sc" + 1000000L).as("id"),
-          transform($"embedding",
-            x => x * (lit(1.0) + $"sc".cast("double") / 100.0)
-              .cast("float")).as("vec"))
-      graft.ops.Ann.lshTopK(s, base.union(twins), queries, k = 3,
-        dim = 64)
+      val (corpus, queries) = annTwinCorpus(s, dir)
+      graft.ops.Ann.lshTopK(s, corpus, queries, k = 3, dim = 64)
         .select($"qid", $"id")
+    },
+
+    // same planted-twin gate over the IVF (spherical k-means) index —
+    // the second scale path the brief names alongside LSH
+    "t_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val (corpus, queries) = annTwinCorpus(s, dir)
+      graft.ops.Ann.ivfTopK(s, corpus, queries, k = 3, dim = 64)
+        .select($"qid", $"id")
+    },
+
+    // REDACT-1: PII scrubbing (emails / dotted-quad IPs / NNN-NNN-NNNN
+    // phones -> typed placeholders); every 5th doc gets a deterministic
+    // PII-rich suffix so both bands are exercised
+    "t_redact" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+        graft.ops.TextStats.redactPII(
+          when($"doc_id" % 5 === 0, concat($"text", lit(piiSuffix)))
+            .otherwise($"text")).as("redacted"))
+    },
+
+    // repetition-quality signals (Gopher-style corpus filters)
+    "t_repetition" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+        graft.ops.TextStats.topTokenRatio($"text").as("top_tok_ratio"),
+        graft.ops.TextStats.dupBigramRatio($"text")
+          .as("dup_bigram_ratio"))
+    },
+
+    // SAMPLE-1: reproducible ~10% corpus sample by md5 bucket — stable
+    // across engines, partitionings and runs
+    "t_sample" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ops.TextStats
+      docs(s, dir)
+        .filter(TextStats.sampled($"doc_id", "1a"))
+        .select($"doc_id", TextStats.sampleBucket($"doc_id").as("bucket"))
     },
 
     "t_quality" -> { (s, dir) =>
@@ -497,6 +525,52 @@ object SparkEntry {
         graft.ops.Lexicon.langId($"text").as("lang_pred"),
         lit(graft.ops.Lexicon.collection.contentHash).as("lex_hash"))
     })
+
+  /** Planted-twin ANN corpus shared by t_ann_lsh / t_ann_ivf: base
+    * embeddings plus 3 colinear twins per query vector.
+    */
+  private def annTwinCorpus(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val emb = tbl(s, dir, "embeddings")
+    val base = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val twins = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding",
+        explode(array(lit(1), lit(2), lit(3))).as("sc"))
+      .select(($"vec_id" * 10 + $"sc" + 1000000L).as("id"),
+        transform($"embedding",
+          x => x * (lit(1.0) + $"sc".cast("double") / 100.0)
+            .cast("float")).as("vec"))
+    (base.union(twins), queries)
+  }
+
+  /** Deterministic PII-rich suffix appended to every 5th doc by
+    * t_redact (mirrored verbatim in the oracle SQL).
+    */
+  private val piiSuffix =
+    " contact bob.smith+x@ex-ample.org or 10.0.42.7 or 555-123-4567 now"
+
+  /** Shared oracle for the planted-twin ANN queries: exact brute-force
+    * top-3 over the twin corpus — both the LSH and IVF indexes must
+    * recover it.
+    */
+  private val annTwinTopKSql: String =
+    "WITH twins AS (SELECT vec_id * 10 + s + 1000000 AS id, " +
+      "list_transform(embedding, x -> x * (1.0 + s/100.0)::FLOAT) " +
+      "AS vec FROM embeddings CROSS JOIN " +
+      "(SELECT unnest([1,2,3]) AS s) sc WHERE vec_id < 8), " +
+      "corpus AS (SELECT vec_id AS id, embedding AS vec " +
+      "FROM embeddings UNION ALL SELECT id, vec FROM twins), " +
+      "q AS (SELECT vec_id AS qid, embedding AS qvec " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      "scored AS (SELECT q.qid, c.id, " +
+      "list_cosine_similarity(q.qvec, c.vec) AS sim " +
+      "FROM corpus c, q WHERE c.id <> q.qid) " +
+      "SELECT qid, id FROM (SELECT qid, id, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
+      "FROM scored) WHERE rank <= 3"
 
   /** Shared oracle for the composed pipeline (hard-wired and
     * config-assembled variants must both reproduce it).
@@ -716,21 +790,34 @@ object SparkEntry {
         "ON a.id < b.id " +
         "WHERE list_cosine_similarity(a.vec, b.vec) >= 0.95"),
 
-    "t_ann_lsh" ->
-      ("WITH twins AS (SELECT vec_id * 10 + s + 1000000 AS id, " +
-        "list_transform(embedding, x -> x * (1.0 + s/100.0)::FLOAT) " +
-        "AS vec FROM embeddings CROSS JOIN " +
-        "(SELECT unnest([1,2,3]) AS s) sc WHERE vec_id < 8), " +
-        "corpus AS (SELECT vec_id AS id, embedding AS vec " +
-        "FROM embeddings UNION ALL SELECT id, vec FROM twins), " +
-        "q AS (SELECT vec_id AS qid, embedding AS qvec " +
-        "FROM embeddings WHERE vec_id < 8), " +
-        "scored AS (SELECT q.qid, c.id, " +
-        "list_cosine_similarity(q.qvec, c.vec) AS sim " +
-        "FROM corpus c, q WHERE c.id <> q.qid) " +
-        "SELECT qid, id FROM (SELECT qid, id, row_number() OVER " +
-        "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
-        "FROM scored) WHERE rank <= 3"),
+    "t_ann_lsh" -> annTwinTopKSql,
+
+    "t_ann_ivf" -> annTwinTopKSql,
+
+    "t_redact" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+        s"text || '$piiSuffix' ELSE text END AS text FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', " +
+        "'<EMAIL>', 'g'), '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', " +
+        "'g'), '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') " +
+        "AS redacted FROM aug"),
+
+    "t_repetition" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents) SELECT doc_id, " +
+        "round(list_max(list_transform(list_distinct(ws), " +
+        "w -> len(list_filter(ws, x -> x = w)))) * 1.0 / len(ws), 4) " +
+        "AS top_tok_ratio, " +
+        "round(CASE WHEN len(ws) < 2 THEN 0.0 ELSE 1.0 - " +
+        "len(list_distinct(list_transform(generate_series(1, " +
+        "len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / " +
+        "(len(ws) - 1) END, 4) AS dup_bigram_ratio FROM t"),
+
+    "t_sample" ->
+      ("SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS bucket " +
+        "FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 2) " +
+        "< '1a'"),
 
     "t_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qvec " +

@@ -92,6 +92,151 @@ object Ann {
     bucket
   }
 
+  @inline private def normalize(v: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    i = 0
+    while (i < v.length) { a(i) = v(i) * inv; i += 1 }
+    a
+  }
+
+  private def nearestCentroid(v: Seq[Float],
+      cents: Array[Array[Double]]): Int = {
+    val nv = normalize(v)
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0
+      var i = 0
+      val row = cents(c)
+      val lim = math.min(row.length, nv.length)
+      while (i < lim) { dot += row(i) * nv(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Spherical k-means coarse quantizer: deterministic seeded init
+    * (the nClusters corpus vectors with smallest mix64(id ^ seed) — a
+    * reproducible sample, no wall-clock), then `iters` Lloyd rounds
+    * computed as Spark aggregations (assign by max cosine against
+    * broadcast centroids; new centroid = normalized member mean).
+    * Centroid fitting is MODEL TRAINING: the nClusters x dim result is
+    * collected to the driver by design (tiny), while assignments stay
+    * distributed.
+    */
+  def trainIvfCentroids(spark: SparkSession, corpus: DataFrame,
+      dim: Int, nClusters: Int, iters: Int = 3,
+      seed: Long = 42L): Array[Array[Double]] = {
+    import spark.implicits._
+    val ds = corpus.as[(Long, Seq[Float])]
+    val init = ds.map { case (id, v) =>
+      (MinHashDedup.mix64(id ^ seed), v)
+    }.toDF("h", "vec").orderBy($"h").limit(nClusters)
+      .as[(Long, Seq[Float])].collect().map(x => normalize(x._2))
+    var cents = init
+    val k = init.length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // per-partition partial sums, reduced on the driver in PARTITION
+      // ORDER — double addition is order-sensitive, and reduceByKey
+      // merges in task-completion order, which would make the trained
+      // centroids run-dependent in their last bits
+      val partials = ds.mapPartitions { it =>
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        it.foreach { case (_, v) =>
+          val c = nearestCentroid(v, bc.value)
+          val nv = normalize(v)
+          var i = 0
+          while (i < dim && i < nv.length) {
+            sums(c)(i) += nv(i); i += 1
+          }
+          counts(c) += 1
+        }
+        Iterator.single(
+          (org.apache.spark.TaskContext.getPartitionId(),
+            sums.map(_.toSeq).toSeq, counts.toSeq))
+      }.collect().sortBy(_._1)
+      val total = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, sums, cnts) =>
+        var c = 0
+        while (c < k) {
+          var i = 0
+          while (i < dim) { total(c)(i) += sums(c)(i); i += 1 }
+          counts(c) += cnts(c)
+          c += 1
+        }
+      }
+      val next = cents.clone()
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += total(c)(i) * total(c)(i); i += 1 }
+          val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+          next(c) = total(c).map(_ * inv)
+        }
+        c += 1
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF ANN: spherical-kmeans coarse buckets; each query probes its
+    * `nProbe` best centroids; candidates rerank by exact cosine.
+    * Assignment is scale-invariant (cosine), so colinear near-dups
+    * always land with their source — the recall property the planted-
+    * twin oracle checks. Same output shape as bruteForceTopK.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int, dim: Int, nClusters: Int = 16, nProbe: Int = 4,
+      iters: Int = 3, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val cents = trainIvfCentroids(spark, corpus, dim, nClusters, iters,
+      seed)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val corpusRows = corpus.as[(Long, Seq[Float])]
+      .map { case (id, v) => (nearestCentroid(v, bc.value), id) }
+      .toDF("bucket", "id")
+
+    val queryProbes = queries.as[(Long, Seq[Float])]
+      .flatMap { case (qid, v) =>
+        val nv = normalize(v)
+        val scored = bc.value.indices.map { c =>
+          var dot = 0.0
+          var i = 0
+          val row = bc.value(c)
+          val lim = math.min(row.length, nv.length)
+          while (i < lim) { dot += row(i) * nv(i); i += 1 }
+          (c, dot)
+        }
+        scored.sortBy { case (c, d) => (-d, c) }.take(nProbe)
+          .map { case (c, _) => (c, qid) }
+      }.toDF("bucket", "qid")
+
+    val cand = corpusRows.join(broadcast(queryProbes), Seq("bucket"))
+      .filter($"id" =!= $"qid")
+      .select($"qid", $"id").distinct()
+
+    val scored = corpus.join(cand, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("sim", cosine($"qvec", $"vec"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"id")
+  }
+
   /** LSH-bucketed ANN: corpus rows hash to (table, bucket) per table;
     * each query probes its own bucket plus all 1-bit flips in every
     * table; candidates rerank by exact cosine; top-k per query.

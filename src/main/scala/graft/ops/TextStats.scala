@@ -44,6 +44,60 @@ object TextStats {
     round(lenScore + swScore + uqScore, 2)
   }
 
+  /** REDACT-1 (frozen, oracle-mirrored): PII scrubbing for training
+    * corpora — emails, dotted-quad IPs, and NNN-NNN-NNNN phone numbers
+    * replaced by typed placeholders, in that order, all occurrences.
+    * Pure codegen'd regexp_replace; the patterns use only syntax that
+    * behaves identically in Java regex (Spark) and RE2 (DuckDB).
+    */
+  def redactPII(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+  }
+
+  private def wsTokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Repetition signal: highest single-token frequency / token count
+    * (the "most common word fraction" family of corpus-quality filters,
+    * Rae et al. 2021 "Scaling Language Models: ... Gopher" table A1 —
+    * public knowledge). Rounded to 4 decimals for oracle compare.
+    */
+  def topTokenRatio(text: Column): Column = {
+    val ws = wsTokens(text)
+    round(array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)))).cast("double") /
+      size(ws), 4)
+  }
+
+  /** Repetition signal: 1 - distinct-bigram fraction (duplicate-n-gram
+    * fraction family, same public precedent); 0.0 below 2 tokens.
+    */
+  def dupBigramRatio(text: Column): Column = {
+    val ws = wsTokens(text)
+    val n = size(ws)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+    round(when(n < 2, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        (n - 1).cast("double")), 4)
+  }
+
+  /** SAMPLE-1 deterministic sampling predicate: keep a row iff the
+    * first byte of md5(key-as-string) is below `hexBound` (two lowercase
+    * hex chars; "1a" keeps 26/256 ~ 10.2%). Stable across engines,
+    * partitionings, and runs — the idiomatic reproducible corpus
+    * sample.
+    */
+  def sampleBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  def sampled(key: Column, hexBound: String): Column =
+    sampleBucket(key) < lit(hexBound)
+
   /** FP-1 document fingerprint: polynomial rolling hash (Karp-Rabin) of
     * the text chars, base 31 mod 1e9+7 (modulus small enough that
     * acc*31+c never overflows a signed 64-bit long) — computed with

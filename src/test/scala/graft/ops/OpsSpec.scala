@@ -186,6 +186,22 @@ class AnnSpec extends AnyFunSuite {
     assert(got.exists(r => r.getInt(1) == 1 && r.getLong(2) == 999L),
       s"twin not found: ${got.mkString(",")}")
   }
+
+  test("ivf top-k: colinear twin always found, training deterministic") {
+    import spark.implicits._
+    val vs = mkVecs(60, 16, 4)
+    val twin = (999L, vs(0)._2.map(x => x * 1.001f))
+    val corpus = spark.createDataset(vs ++ Seq(twin)).toDF("id", "vec")
+    val queries = spark.createDataset(vs.take(1)).toDF("qid", "qvec")
+    val got = Ann.ivfTopK(spark, corpus, queries, 3, dim = 16,
+      nClusters = 8, nProbe = 2).collect()
+    assert(got.exists(r => r.getInt(1) == 1 && r.getLong(2) == 999L),
+      s"twin not found: ${got.mkString(",")}")
+    // centroids are a pure function of (corpus, seed)
+    val c1 = Ann.trainIvfCentroids(spark, corpus, 16, 8)
+    val c2 = Ann.trainIvfCentroids(spark, corpus, 16, 8)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq)
+  }
 }
 
 class TextStatsSpec extends AnyFunSuite {
@@ -213,6 +229,49 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0.0)
     assert(out(3L)._3 == 0.1)
     assert(out(3L)._4 == 0.3) // len>=5 (0.2) + uniq 0.1 band (0.1)
+  }
+
+  test("REDACT-1 scrubs emails, IPs, phones; leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail bob.smith+x@ex-ample.org and carol@a.io now"),
+      (2L, "host 10.0.42.7 and 255.1.2.33 up"),
+      (3L, "call 555-123-4567 today"),
+      (4L, "plain text with numbers 12345 and a.b"))
+      .toDF("id", "t")
+      .select($"id", TextStats.redactPII($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "mail <EMAIL> and <EMAIL> now")
+    assert(rows(2L) == "host <IP> and <IP> up")
+    assert(rows(3L) == "call <PHONE> today")
+    assert(rows(4L) == "plain text with numbers 12345 and a.b")
+  }
+
+  test("repetition ratios") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a a a a b"), // top token 4/5; bigrams: 'a a'x3,'a b' -> 2/4 distinct
+      (2L, "w x y z"), // all unique
+      (3L, "solo"))
+      .toDF("id", "t")
+      .select($"id", TextStats.topTokenRatio($"t").as("tt"),
+        TextStats.dupBigramRatio($"t").as("db"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((0.8, 0.5)))
+    assert(rows(2L) == ((0.25, 0.0)))
+    assert(rows(3L) == ((1.0, 0.0)))
+  }
+
+  test("SAMPLE-1 is deterministic and partition-independent") {
+    import spark.implicits._
+    val d1 = spark.range(1000).select($"id")
+      .filter(TextStats.sampled($"id", "1a"))
+      .collect().map(_.getLong(0)).toSet
+    val d2 = spark.range(1000).repartition(7).select($"id")
+      .filter(TextStats.sampled($"id", "1a"))
+      .collect().map(_.getLong(0)).toSet
+    assert(d1 == d2 && d1.nonEmpty && d1.size < 250)
   }
 
   test("fingerprint is deterministic and order-sensitive") {
