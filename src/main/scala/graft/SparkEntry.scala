@@ -200,6 +200,51 @@ object SparkEntry {
         $"extracted_text".as("extracted"))
     },
 
+    // the SAME extraction semantics through Structured Streaming:
+    // stage the doc-derived turns as input files (planted duplicates
+    // excluded — cross-batch winner order is engine-specific), stream
+    // them through the stateless extract path into an exactly-once
+    // file sink (AvailableNow trigger), read the sink back; oracle =
+    // the same expected-extraction SQL as x_transcripts
+    "x_streaming" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream").toString
+      docTurns(s, dir)
+        .filter(!$"text".startsWith("stale duplicate"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = graft.streaming.StreamingJob.readTurnStream(s,
+        s"$tmp/in")
+      val out = graft.streaming.StreamingJob.extractStream(stream)
+      graft.streaming.StreamingJob
+        .writer(out, s"$tmp/out", s"$tmp/ckpt")
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/out").select($"conv_id", $"turn_idx",
+        $"extractor", $"extracted_text".as("extracted"))
+    },
+
+    // multimodal plumbing end to end: binary payloads derived from the
+    // documents table (ASCII bytes == chars, so the oracle recomputes
+    // the deterministic stub codec in HUGEINT SQL), batched
+    // per-partition feature extraction, typed output
+    "t_multimodal" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id", $"text")
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val kind = (id % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          graft.ops.Multimodal.MediaRow(id, kind,
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.ops.Multimodal.extractFeatures(s, media).toDF()
+        .select($"media_id", $"kind", $"n_bytes", $"width", $"height",
+          $"n_frames", $"content_hash")
+    },
+
     // composed training-data pipeline: extract -> quality-score the
     // extracted text -> exact-dedup (md5 window) -> per-extractor
     // rollup — oracle-checked end to end (quality mirrored via the
@@ -552,6 +597,15 @@ object SparkEntry {
   private val piiSuffix =
     " contact bob.smith+x@ex-ample.org or 10.0.42.7 or 555-123-4567 now"
 
+  /** Shared expected-extraction oracle for the batch (x_transcripts)
+    * and streaming (x_streaming) pipelines.
+    */
+  private lazy val transcriptsSql: String =
+    "SELECT 'c' || (doc_id % 100) AS conv_id, " +
+      "(doc_id // 100)::INT AS turn_idx, " +
+      s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
+      "FROM documents"
+
   /** Shared oracle for the planted-twin ANN queries: exact brute-force
     * top-3 over the twin corpus — both the LSH and IVF indexes must
     * recover it.
@@ -613,11 +667,33 @@ object SparkEntry {
       (s"SELECT doc_id, 'pdf' AS extractor, $pdfTextSql AS extracted " +
         "FROM documents"),
 
-    "x_transcripts" ->
-      ("SELECT 'c' || (doc_id % 100) AS conv_id, " +
-        "(doc_id // 100)::INT AS turn_idx, " +
-        s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
-        "FROM documents"),
+    "x_transcripts" -> transcriptsSql,
+
+    // streaming path must land the identical extraction
+    "x_streaming" -> transcriptsSql,
+
+    // mirror of Multimodal.decodeStub: FNV-1a over the payload bytes
+    // (ASCII text -> same as chars) in mod-2^64 HUGEINT arithmetic,
+    // then the stub's width/height/frames/hash derivations
+    "t_multimodal" ->
+      ("WITH fnv AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+        "'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END " +
+        "AS kind, length(text)::BIGINT AS n_bytes, " +
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(string_split(text, ''), " +
+        "c -> ascii(c)::HUGEINT)), (acc, c) -> (xor(acc, c) * " +
+        "1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) " +
+        "AS h FROM documents), " +
+        "sg AS (SELECT *, CASE WHEN h >= 9223372036854775808::HUGEINT " +
+        "THEN h - 18446744073709551616::HUGEINT ELSE h END AS sh " +
+        "FROM fnv) " +
+        "SELECT doc_id AS media_id, kind, n_bytes, " +
+        "(64 + abs(sh) % 1024)::INT AS width, " +
+        "(64 + (h >> 17) % 1024)::INT AS height, " +
+        "(CASE WHEN kind = 'video' THEN 1 + (h >> 29) % 300 " +
+        "WHEN kind = 'audio' THEN 1 + (h >> 23) % 10000 " +
+        "ELSE 1 END)::INT AS n_frames, " +
+        "sh::BIGINT AS content_hash FROM sg"),
 
     "x_pipeline_e2e" -> pipelineE2eSql,
 
