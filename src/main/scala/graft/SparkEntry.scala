@@ -512,13 +512,19 @@ object SparkEntry {
             .otherwise($"text")).as("redacted"))
     },
 
-    // repetition-quality signals (Gopher-style corpus filters)
+    // repetition-quality signals (Gopher-style corpus filters).
+    // repartition: the sf tables are single small parquet files -> one
+    // scan task, which would serialize this CPU-bound expression on a
+    // single core (at real scale the input has many splits and this
+    // exchange is unnecessary — it exists to parallelize the
+    // small-file case)
     "t_repetition" -> { (s, dir) =>
       import s.implicits._
-      docs(s, dir).select($"doc_id",
-        graft.ops.TextStats.topTokenRatio($"text").as("top_tok_ratio"),
-        graft.ops.TextStats.dupBigramRatio($"text")
-          .as("dup_bigram_ratio"))
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          graft.ops.TextStats.topTokenRatio($"text").as("top_tok_ratio"),
+          graft.ops.TextStats.dupBigramRatio($"text")
+            .as("dup_bigram_ratio"))
     },
 
     // SAMPLE-1: reproducible ~10% corpus sample by md5 bucket — stable
@@ -566,9 +572,12 @@ object SparkEntry {
       // LANGID-2 (see ops/Lexicon.scala): script presence then
       // stopword-ratio argmax over en/de/fr/es; lex_hash pins the
       // exact dictionary contents into the correctness gate
-      docs(s, dir).select($"doc_id",
-        graft.ops.Lexicon.langId($"text").as("lang_pred"),
-        lit(graft.ops.Lexicon.collection.contentHash).as("lex_hash"))
+      // repartition: single-file scan would otherwise run this
+      // CPU-bound classifier on one core (see t_repetition note)
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          graft.ops.Lexicon.langId($"text").as("lang_pred"),
+          lit(graft.ops.Lexicon.collection.contentHash).as("lex_hash"))
     })
 
   /** Planted-twin ANN corpus shared by t_ann_lsh / t_ann_ivf: base

@@ -72,15 +72,13 @@ object EmbeddingDedup {
       .select($"p.a".as("id_a"), $"p.b".as("id_b"))
       .distinct()
 
-    // exact verification on candidates only (no .distinct() on the
-    // semi-join probe side — saves a shuffle)
-    val candIds = pairs
-      .select(explode(array($"id_a", $"id_b")).as("id"))
-    val vecs = corpus.join(candIds, Seq("id"), "left_semi")
-
+    // exact verification on candidates only: join the (small) pair set
+    // against the corpus directly — unlike MinHash there is nothing to
+    // recompute per doc, so no candidate semi-join stage is needed
+    // (AQE broadcasts the pair side; the corpus never shuffles)
     pairs
-      .join(vecs.select($"id".as("id_a"), $"vec".as("vec_a")), "id_a")
-      .join(vecs.select($"id".as("id_b"), $"vec".as("vec_b")), "id_b")
+      .join(corpus.select($"id".as("id_a"), $"vec".as("vec_a")), "id_a")
+      .join(corpus.select($"id".as("id_b"), $"vec".as("vec_b")), "id_b")
       .withColumn("sim", Ann.cosine($"vec_a", $"vec_b"))
       .filter($"sim" >= threshold)
       .select($"id_a", $"id_b")

@@ -61,6 +61,38 @@ object TextStats {
   private def wsTokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Longest run of equal adjacent elements in the SORTED array — i.e.
+    * the max element frequency — in one O(n log n) pass (sort +
+    * aggregate with (prev, run, best) struct state). The naive
+    * per-distinct-token refilter is O(n^2) per row, which at
+    * training-corpus document lengths (10^4+ tokens) is 10^8 lambda
+    * evaluations per document; the DuckDB oracle keeps the naive
+    * formulation (value-equal, and sf0.01 is tiny).
+    */
+  private def maxRunSorted(arr: Column): Column = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("run"), lit(0).as("best"))
+    aggregate(array_sort(arr), zero,
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Distinct count via sorted adjacency (same O(n log n) rationale). */
+  private def distinctSorted(arr: Column): Column = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("cnt"))
+    aggregate(array_sort(arr), zero,
+      (acc, x) => struct(x.as("prev"),
+        (acc.getField("cnt") +
+          when(x <=> acc.getField("prev"), 0).otherwise(1)).as("cnt")),
+      acc => acc.getField("cnt"))
+  }
+
   /** Repetition signal: highest single-token frequency / token count
     * (the "most common word fraction" family of corpus-quality filters,
     * Rae et al. 2021 "Scaling Language Models: ... Gopher" table A1 —
@@ -68,9 +100,7 @@ object TextStats {
     */
   def topTokenRatio(text: Column): Column = {
     val ws = wsTokens(text)
-    round(array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w)))).cast("double") /
-      size(ws), 4)
+    round(maxRunSorted(ws).cast("double") / size(ws), 4)
   }
 
   /** Repetition signal: 1 - distinct-bigram fraction (duplicate-n-gram
@@ -82,7 +112,7 @@ object TextStats {
     val bigrams = transform(sequence(lit(1), n - 1),
       i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
     round(when(n < 2, 0.0).otherwise(
-      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+      lit(1.0) - distinctSorted(bigrams).cast("double") /
         (n - 1).cast("double")), 4)
   }
 
