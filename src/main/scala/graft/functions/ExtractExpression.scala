@@ -131,5 +131,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "extract_main_content"),
       (exprs: Seq[Expression]) =>
         ExtractMainContent(exprs(0), exprs(1), exprs(2))))
+    GraftOpFunctions.all.foreach(ext.injectFunction)
   }
+}
+
+/** SQL registrations for the training-data op surface: each function
+  * expands to the SAME Catalyst expression tree as its Column API
+  * (ops.TextStats / ops.Lexicon / ops.Ann), so `spark.sql` users get
+  * identical semantics and codegen with zero UDFs.
+  */
+object GraftOpFunctions {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private type Reg =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def reg(name: String, arity: Int,
+      f: Seq[Column] => Column): Reg = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions.GraftOpFunctions", name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == arity,
+        s"$name takes $arity argument(s), got ${exprs.length}")
+      ColumnBridge.expression(
+        f(exprs.map(ColumnBridge.column)))
+    })
+
+  val all: Seq[Reg] = Seq(
+    reg("graft_redact_pii", 1,
+      cs => graft.ops.TextStats.redactPII(cs.head)),
+    reg("graft_quality", 1,
+      cs => graft.ops.TextStats.qualityScore(cs.head)),
+    reg("graft_fingerprint", 1,
+      cs => graft.ops.TextStats.fingerprint(cs.head)),
+    reg("graft_top_token_ratio", 1,
+      cs => graft.ops.TextStats.topTokenRatio(cs.head)),
+    reg("graft_dup_bigram_ratio", 1,
+      cs => graft.ops.TextStats.dupBigramRatio(cs.head)),
+    reg("graft_sample_bucket", 1,
+      cs => graft.ops.TextStats.sampleBucket(cs.head)),
+    reg("graft_lang_id", 1,
+      cs => graft.ops.Lexicon.langId(cs.head)),
+    reg("graft_cosine", 2,
+      cs => graft.ops.Ann.cosine(cs(0), cs(1))))
+
+  /** Imperative registration (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

@@ -79,4 +79,28 @@ class ExtractExpressionSpec extends AnyFunSuite {
       Seq("word w0", "word w1"))
     finally s.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("op functions registered for spark.sql users") {
+    val s = spark
+    GraftOpFunctions.register(s)
+    import s.implicits._
+    Seq((1L, "email me at a@b.co about the the the offer"))
+      .toDF("id", "text").createOrReplaceTempView("op_v")
+    val r = s.sql(
+      """SELECT graft_redact_pii(text) AS red,
+               graft_quality(text) AS q,
+               graft_lang_id(text) AS lang,
+               graft_top_token_ratio(text) AS tt,
+               graft_fingerprint(text) AS fp,
+               graft_sample_bucket(id) AS b
+         FROM op_v""").collect()(0)
+    assert(r.getString(0) == "email me at <EMAIL> about the the the offer")
+    assert(r.getString(2) == "en")
+    assert(r.getDouble(3) == 0.3333) // 'the' x3 of 9 tokens
+    assert(r.getString(5).length == 2)
+    val cos = s.sql(
+      "SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
 }
