@@ -51,15 +51,19 @@ object Boilerplate {
     */
   final class TagPathTrie {
     private val root = new TrieNode
+    // single-segment rules get an O(1) set probe — matchesTag runs once
+    // per element on the hot path and the general suffix walk allocates
+    private val singles = new java.util.HashSet[String]()
     private final class TrieNode {
       val kids = scala.collection.mutable.HashMap[String, TrieNode]()
       var terminal = false
     }
     def add(path: String): Unit = {
       var n = root
-      for (seg <- path.split('/')) n = n.kids.getOrElseUpdate(seg,
-        new TrieNode)
+      val segs = path.split('/')
+      for (seg <- segs) n = n.kids.getOrElseUpdate(seg, new TrieNode)
       n.terminal = true
+      if (segs.length == 1) singles.add(segs(0))
     }
     /** Does any suffix of `path` starting at some ancestor match a rule?
       * We check every position: path segments are matched downward.
@@ -81,7 +85,8 @@ object Boilerplate {
       }
       false
     }
-    def matchesTag(tag: String): Boolean = matchesAnywhere(Seq(tag))
+    def matchesTag(tag: String): Boolean =
+      singles.contains(tag) || matchesAnywhere(Seq(tag))
   }
 
   private def countWords(s: String): Int = {

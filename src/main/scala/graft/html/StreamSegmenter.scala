@@ -42,12 +42,15 @@ final class StreamSegmenter(raw: String, limits: Dom.Limits)
     if (nodes > limits.maxNodes) throw new BoundsExceeded("maxNodes")
   }
 
-  private def countWords(s: String): Int = {
+  private def countWords(s: String): Int = countWordsCs(s, 0, s.length)
+
+  private def countWordsCs(cs: CharSequence, from: Int,
+      until: Int): Int = {
     var words = 0
     var inWord = false
-    var i = 0
-    while (i < s.length) {
-      val ws = Normalizer.isWs(s.charAt(i))
+    var i = from
+    while (i < until) {
+      val ws = Normalizer.isWs(cs.charAt(i))
       if (!ws && !inWord) { words += 1; inWord = true }
       else if (ws) inWord = false
       i += 1
@@ -111,8 +114,9 @@ final class StreamSegmenter(raw: String, limits: Dom.Limits)
             curPath = stack.iterator.drop(1).map(_.tag).mkString("/")
           curSpans += Span(b, e, "cont")
           curCount += 1
-          if (anchorDepth > 0)
-            curAnchorWords += countWords(curParts.substring(mark))
+          if (anchorDepth > 0) // count in place — no substring alloc
+            curAnchorWords += countWordsCs(curParts, mark,
+              curParts.length)
         }
       }
     case TSkip(_, _) => ()

@@ -27,19 +27,52 @@ object Normalizer {
     * ASCII to halfwidth. Single pass, no regex (hot path).
     */
   def wsCollapse(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
+    val n = s.length
+    // fast path: detect the (very common) already-collapsed shape —
+    // single ' ' separators, no leading/trailing ws, no fullwidth —
+    // and return the input with zero copies; on deviation fall into
+    // the state machine with the clean prefix bulk-appended
+    var dirty = -1
+    var prevWs = true // leading ws is a deviation
+    var f = 0
+    while (f < n && dirty < 0) {
+      val c = s.charAt(f)
+      if (c == ' ') { if (prevWs) dirty = f else prevWs = true }
+      else if (isWs(c) || (c >= 0xFF01 && c <= 0xFF5E)) dirty = f
+      else prevWs = false
+      f += 1
+    }
+    if (dirty < 0) {
+      if (!prevWs || n == 0) return s
+      return s.substring(0, n - 1) // single trailing ' '
+    }
+    val cut = // keep the prefix free of a trailing space
+      if (dirty > 0 && s.charAt(dirty - 1) == ' ') dirty - 1 else dirty
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, cut)
+    var i = cut
     var pendingSpace = false
-    var started = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (isWs(c)) { if (started) pendingSpace = true }
+    var started = cut > 0
+    while (i < n) {
+      if (isWs(s.charAt(i))) { if (started) pendingSpace = true; i += 1 }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(normChar(c))
+        // bulk-append the run of plain (non-ws, non-fullwidth) chars
+        var j = i
+        var c = s.charAt(j)
+        while (!isWs(c) && c < 0xFF01) {
+          j += 1
+          if (j < n) c = s.charAt(j)
+          else c = ' ' // terminates the loop (isWs)
+        }
+        if (j > i) { sb.append(s, i, j); i = j }
+        // single fullwidth (or other normalized) char, if any
+        if (i < n && !isWs(s.charAt(i))) {
+          sb.append(normChar(s.charAt(i)))
+          i += 1
+        }
         started = true
       }
-      i += 1
     }
     sb.toString
   }
