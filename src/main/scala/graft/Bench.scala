@@ -75,21 +75,30 @@ object Bench {
     val extractSec = median(times)
     val turnsPerSec = rows / extractSec
 
-    // per-query timings on the sf dir
+    // per-query timings on the sf dir; a query that dies must NOT read
+    // as "fast" — record its error and surface an errors map in the JSON
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        var err: Option[String] = None
         val t = timeIt {
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+          }
         }
-        name -> t
+        (name, t, err)
     }
-    val qs = (results :+ ("x_extraction_throughput" -> extractSec))
+    val qs = (results.map { case (n, t, _) => (n, t) } :+
+        ("x_extraction_throughput" -> extractSec))
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (n, _, Some(e)) =>
+      "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec
     println("{\"metric\":\"total\",\"value\":" + f"$total%.3f" +
       ",\"unit\":\"sec\",\"queries\":" + qs +
+      ",\"errors\":" + errs +
       ",\"sf\":\"" + sfDir + "\",\"turns\":" + rows +
       ",\"turns_per_sec\":" + turnsPerSec.toLong + "}")
     spark.stop()

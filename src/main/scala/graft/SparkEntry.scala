@@ -254,14 +254,13 @@ object SparkEntry {
       import s.implicits._
       val (out, _) = Job.run(s, docTurns(s, dir), "e2e",
         orderOutput = false)
-      val scored = out.toDF()
-        .filter($"extracted_text" =!= "")
-        .withColumn("quality",
-          graft.ops.TextStats.qualityScore($"extracted_text"))
-        .withColumn("dup_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(md5($"extracted_text"))
-            .orderBy($"conv_id", $"turn_idx")))
+      val scored = Job.rankDuplicates(
+        out.toDF()
+          .filter($"extracted_text" =!= "")
+          .withColumn("quality",
+            graft.ops.TextStats.qualityScore($"extracted_text")),
+        key = "extracted_text", order = Seq("conv_id", "turn_idx"),
+        out = "dup_rank") // slim-row rank: text never enters the window
       scored.filter($"dup_rank" === 1 && $"quality" >= 0.5)
         .groupBy($"extractor")
         .agg(count(lit(1)).as("kept"),

@@ -72,14 +72,14 @@ object ConfigPipeline {
         df => df.withColumn(out,
           graft.ops.TextStats.qualityScore(col(colName)))
       },
-      // exact-dup rank over md5(key), deterministic winner by `order`
+      // exact-dup rank over md5(key), deterministic winner by `order` —
+      // ranked on a slim (hash, order) projection so the payload column
+      // never enters the window exchange (Job.rankDuplicates)
       "dedupe_exact" -> { (_, cfg) =>
         val key = str(cfg, "key", "extracted_text")
         val out = str(cfg, "out", "dup_rank")
-        val order = strs(cfg, "order").map(col)
-        df => df.withColumn(out, row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col(key))).orderBy(order: _*)))
+        val order = strs(cfg, "order")
+        df => Job.rankDuplicates(df, key, order, out)
       },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>

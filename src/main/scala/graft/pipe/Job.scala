@@ -43,6 +43,32 @@ object Job {
     ds.repartition(partitions, col("conv_id"),
       pmod(col("turn_idx"), lit(salt)))
 
+  /** Exact-dup rank over md5(`key`) computed on a SLIM projection: only
+    * (hash, order cols) enter the window exchange — the payload column
+    * (typically extracted text) never shuffles or sorts through the rank
+    * exchange. Ranks are re-attached by joining the ranked slim rows back
+    * on (hash, order cols); the order columns must uniquely identify a
+    * row within its hash group (e.g. the (conv_id, turn_idx) primary
+    * key), which is also what makes the row_number deterministic.
+    *
+    * At 100 TB this is the difference between shuffling the whole corpus
+    * through a full-row sort to rank duplicates, and shuffling ~40-byte
+    * key rows (the reference's slim inverse-index order restoration,
+    * page_text_region.py:794-800, is the same trick). A downstream
+    * `filter(rank = 1)` additionally collapses the slim window into a
+    * WindowGroupLimit (top-1 per group) via Catalyst's
+    * InferWindowGroupLimit.
+    */
+  def rankDuplicates(df: org.apache.spark.sql.DataFrame, key: String,
+      order: Seq[String], out: String): org.apache.spark.sql.DataFrame = {
+    val h = "__dedup_h"
+    val withH = df.withColumn(h, md5(col(key)))
+    val slim = withH.select(col(h) +: order.map(col): _*)
+    val ranked = slim.withColumn(out, row_number().over(
+      Window.partitionBy(col(h)).orderBy(order.map(col): _*)))
+    withH.join(ranked, h +: order).drop(h)
+  }
+
   /** Standalone dedupe (window form) — kept as the reference semantics
     * for tests and for callers that need dedupe without extraction:
     * keep row_number()=1 per (conv_id, turn_idx) ordered by latest ts

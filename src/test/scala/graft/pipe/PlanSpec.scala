@@ -85,6 +85,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(2) Sort"), plan)
   }
 
+  test("exact-dedup rank windows slim rows only (no payload in the " +
+    "window exchange)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val df = spark.createDataset(Seq(
+      ("c1", 1, "payload text one"), ("c1", 2, "payload text one"),
+      ("c2", 1, "payload text two")))
+      .toDF("conv_id", "turn_idx", "extracted_text")
+    val ranked = Job.rankDuplicates(df, "extracted_text",
+      Seq("conv_id", "turn_idx"), "dup_rank")
+    // semantics: same ranks as the full-row window form
+    val got = ranked.orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "dup_rank")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("c1", 1, 1), ("c1", 2, 2), ("c2", 1, 1)))
+    // plan shape: every Window (and WindowGroupLimit) operates on a
+    // schema WITHOUT the payload column
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ allNodes(q.plan)
+      case _ => Seq(p) ++ p.children.flatMap(allNodes)
+    }
+    val winners = ranked.filter($"dup_rank" === 1)
+    winners.collect()
+    val nodes = allNodes(winners.queryExecution.executedPlan)
+    val windowNodes = nodes.collect {
+      case w: WindowExec => w.output.map(_.name)
+      case w: WindowGroupLimitExec => w.output.map(_.name)
+    }
+    assert(windowNodes.nonEmpty,
+      winners.queryExecution.executedPlan.toString)
+    windowNodes.foreach { cols =>
+      assert(!cols.contains("extracted_text"),
+        s"payload leaked into window exchange: $cols")
+    }
+    // filter(rank = 1) collapses into a WindowGroupLimit (top-1/group)
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      winners.queryExecution.executedPlan.toString)
+  }
+
   test("minhash candidate generation shuffles slim rows only") {
     import spark.implicits._
     val docs = spark.createDataset(Seq((1L, "a b c d e f g")))
