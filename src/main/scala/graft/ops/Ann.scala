@@ -121,74 +121,110 @@ object Ann {
     best
   }
 
-  /** Spherical k-means coarse quantizer: deterministic seeded init
-    * (the nClusters corpus vectors with smallest mix64(id ^ seed) — a
-    * reproducible sample, no wall-clock), then `iters` Lloyd rounds
-    * computed as Spark aggregations (assign by max cosine against
-    * broadcast centroids; new centroid = normalized member mean).
-    * Centroid fitting is MODEL TRAINING: the nClusters x dim result is
-    * collected to the driver by design (tiny), while assignments stay
-    * distributed.
+  @inline private def nearestCentroidNorm(nv: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0
+      var i = 0
+      val row = cents(c)
+      val lim = math.min(row.length, nv.length)
+      while (i < lim) { dot += row(i) * nv(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Fixed-point scale for deterministic distributed summation:
+    * normalized components are in [-1, 1], so scaling to 2^40 and
+    * summing as longs makes the reduction ASSOCIATIVE — any
+    * treeAggregate merge order yields bit-identical centroids (double
+    * addition would be order-sensitive). Headroom: up to ~2^22 sample
+    * members per cluster before a long could overflow (2^22 x 2^40 <
+    * 2^63), far above any sensible sampleCap.
+    */
+  private val FixedPoint = (1L << 40).toDouble
+
+  /** Spherical k-means coarse quantizer, trained on a BOUNDED
+    * deterministic sample: the `sampleCap` corpus vectors with smallest
+    * mix64(id ^ seed) (a reproducible sample, no wall-clock — vkit's
+    * SeedSequence contract, vkit/utility/pool.py:86-96). The corpus is
+    * read ONCE to select the sample; every Lloyd round then runs over
+    * the cached sample with `treeAggregate`, so per-round driver
+    * traffic is exactly k x dim regardless of corpus or partition
+    * count, and training cost is independent of corpus size.
+    * Determinism comes from algebra, not ordering: partial sums are
+    * fixed-point longs (see FixedPoint), associative under any merge
+    * order.
     */
   def trainIvfCentroids(spark: SparkSession, corpus: DataFrame,
       dim: Int, nClusters: Int, iters: Int = 3,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L, sampleCap: Int = 65536): Array[Array[Double]] = {
     import spark.implicits._
+    require(sampleCap >= nClusters, "sampleCap must cover nClusters")
     val ds = corpus.as[(Long, Seq[Float])]
-    val init = ds.map { case (id, v) =>
-      (MinHashDedup.mix64(id ^ seed), v)
-    }.toDF("h", "vec").orderBy($"h").limit(nClusters)
-      .as[(Long, Seq[Float])].collect().map(x => normalize(x._2))
-    var cents = init
-    val k = init.length
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      // per-partition partial sums, reduced on the driver in PARTITION
-      // ORDER — double addition is order-sensitive, and reduceByKey
-      // merges in task-completion order, which would make the trained
-      // centroids run-dependent in their last bits
-      val partials = ds.mapPartitions { it =>
-        val sums = Array.fill(k)(new Array[Double](dim))
-        val counts = new Array[Long](k)
-        it.foreach { case (_, v) =>
-          val c = nearestCentroid(v, bc.value)
-          val nv = normalize(v)
-          var i = 0
-          while (i < dim && i < nv.length) {
-            sums(c)(i) += nv(i); i += 1
-          }
-          counts(c) += 1
-        }
-        Iterator.single(
-          (org.apache.spark.TaskContext.getPartitionId(),
-            sums.map(_.toSeq).toSeq, counts.toSeq))
-      }.collect().sortBy(_._1)
-      val total = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      partials.foreach { case (_, sums, cnts) =>
+    // (h, id) sort: id tiebreak keeps sample membership deterministic
+    // even under a (vanishingly unlikely) mix64 collision
+    val sample = ds.map { case (id, v) =>
+      (MinHashDedup.mix64(id ^ seed), id, normalize(v))
+    }.toDF("h", "id", "nv")
+      .orderBy($"h", $"id").limit(sampleCap)
+      .as[(Long, Long, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = sample.orderBy($"h", $"id").limit(nClusters)
+        .collect().map(_._3)
+      var cents = init
+      val k = init.length
+      val rdd = sample.rdd
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        // one flat k x dim fixed-point buffer + k counts per message
+        val (sums, counts) = rdd.treeAggregate(
+          (new Array[Long](k * dim), new Array[Long](k)))(
+          seqOp = { case ((s, c), (_, _, nv)) =>
+            val ci = nearestCentroidNorm(nv, bc.value)
+            val off = ci * dim
+            var i = 0
+            val lim = math.min(dim, nv.length)
+            while (i < lim) {
+              s(off + i) += math.round(nv(i) * FixedPoint); i += 1
+            }
+            c(ci) += 1
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var i = 0
+            while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            i = 0
+            while (i < k) { c1(i) += c2(i); i += 1 }
+            (s1, c1)
+          })
+        val next = cents.clone()
         var c = 0
         while (c < k) {
-          var i = 0
-          while (i < dim) { total(c)(i) += sums(c)(i); i += 1 }
-          counts(c) += cnts(c)
+          if (counts(c) > 0) {
+            var s = 0.0
+            var i = 0
+            while (i < dim) {
+              val v = sums(c * dim + i) / FixedPoint
+              s += v * v
+              i += 1
+            }
+            val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+            next(c) = Array.tabulate(dim)(i =>
+              sums(c * dim + i) / FixedPoint * inv)
+          }
           c += 1
         }
+        cents = next
+        bc.destroy()
       }
-      val next = cents.clone()
-      var c = 0
-      while (c < k) {
-        if (counts(c) > 0) {
-          var s = 0.0
-          var i = 0
-          while (i < dim) { s += total(c)(i) * total(c)(i); i += 1 }
-          val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
-          next(c) = total(c).map(_ * inv)
-        }
-        c += 1
-      }
-      cents = next
-    }
-    cents
+      cents
+    } finally sample.unpersist()
   }
 
   /** IVF ANN: spherical-kmeans coarse buckets; each query probes its
@@ -199,10 +235,11 @@ object Ann {
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int, dim: Int, nClusters: Int = 16, nProbe: Int = 4,
-      iters: Int = 3, seed: Long = 42L): DataFrame = {
+      iters: Int = 3, seed: Long = 42L,
+      sampleCap: Int = 65536): DataFrame = {
     import spark.implicits._
     val cents = trainIvfCentroids(spark, corpus, dim, nClusters, iters,
-      seed)
+      seed, sampleCap)
     val bc = spark.sparkContext.broadcast(cents)
 
     val corpusRows = corpus.as[(Long, Seq[Float])]

@@ -1,13 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-cosine near-duplicate detection: multi-table random-
   * hyperplane LSH (OR-amplification, same band pattern as MinHash) +
-  * 1-bit multi-probe + exact cosine verification — the scale path for
-  * "same content, same embedding" dedup. Exact cosine is the final
-  * arbiter (LSH = recall only).
+  * margin-ordered multi-probe + exact cosine verification — the scale
+  * path for "same content, same embedding" dedup. Exact cosine is the
+  * final arbiter (LSH = recall only).
   *
   * Scale design:
   *  - bucket keys are (table, bucket): 2^nPlanes buckets PER TABLE
@@ -15,19 +15,63 @@ import org.apache.spark.sql.functions._
   *    within-bucket pair expansion never approaches a quadratic scan;
   *  - only slim (tbl, bucket, id, home) rows shuffle; vectors are
   *    joined back for candidate pairs alone;
+  *  - `nProbe` bounds the dominant shuffle-volume constant: each vector
+  *    emits nTables x (1 + nProbe) slim rows. Probes flip the nProbe
+  *    LEAST-CONFIDENT planes (smallest |dot| margin — the planes a true
+  *    near-neighbor is most likely to disagree on), the standard
+  *    multi-probe ordering, so recall degrades gracefully as nProbe
+  *    shrinks (measured curve in BENCH/BASELINE.md);
   *  - bucket sizes are measured with a count-only pass first and
-  *    buckets over `bucketCap` are pruned BEFORE any collect_list
-  *    (see MinHashDedup — `oversizedBuckets` is the recall ledger);
+  *    buckets over `bucketCap` are pruned BEFORE any collect_list;
+  *    passing `ledger` observes the dropped bucket/row counts on that
+  *    SAME pass (no second signature sweep) — `oversizedBuckets`
+  *    remains as a standalone inspection query over the shared
+  *    `probeRows` expansion;
   *  - a pair qualifies when the two ids share a (table, bucket) key
   *    and at least one side is a HOME row (own bucket, not a probe) —
-  *    i.e. bucket Hamming distance <= 1 in some table.
+  *    i.e. bucket Hamming distance <= 1 in some table (at full nProbe).
   *
-  * Recall: a pair at cosine 0.95 (~18 deg) flips each plane w.p.
-  * theta/pi ~ 0.1; P(Hamming<=1 over 16 planes) ~ 0.51 per table,
-  * 1 - 0.49^4 ~ 0.94 over 4 tables. Raise nTables for higher-recall
-  * regimes; identical/colinear vectors are always found (0 flips).
+  * Recall at nProbe = nPlanes = 16: a pair at cosine 0.95 (~18 deg)
+  * flips each plane w.p. theta/pi ~ 0.1; P(Hamming<=1 over 16 planes)
+  * ~ 0.51 per table, 1 - 0.49^4 ~ 0.94 over 4 tables. Raise nTables
+  * for higher-recall regimes; identical/colinear vectors are always
+  * found (0 flips) at ANY nProbe.
   */
 object EmbeddingDedup {
+
+  /** Slim (tbl, bucket, id, home) rows: the home bucket per table plus
+    * the `nProbe` 1-bit probe buckets flipping the least-confident
+    * planes (ties broken by plane index — deterministic).
+    */
+  private def probeRows(spark: SparkSession, corpus: DataFrame, dim: Int,
+      nTables: Int, nPlanes: Int, nProbe: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val pl = spark.sparkContext.broadcast(
+      Ann.planeTables(nTables, nPlanes, dim, seed))
+    corpus.as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
+          val dots = new Array[Double](nPlanes)
+          var b = 0
+          var p = 0
+          while (p < nPlanes) {
+            var dot = 0.0
+            var i = 0
+            val row = t(p)
+            while (i < row.length && i < v.length) {
+              dot += row(i) * v(i); i += 1
+            }
+            dots(p) = dot
+            if (dot >= 0) b |= (1 << p)
+            p += 1
+          }
+          val flips = (0 until nPlanes)
+            .sortBy(p => (math.abs(dots(p)), p)).take(nProbe)
+          Iterator((ti, b, id, true)) ++
+            flips.iterator.map(p => (ti, b ^ (1 << p), id, false))
+        }
+      }.toDF("tbl", "bucket", "id", "home")
+  }
 
   /** Input: (id: Long, vec: array<float>). Output (id_a, id_b) pairs
     * with cosine >= threshold, id_a < id_b. `dim` is passed explicitly
@@ -35,25 +79,18 @@ object EmbeddingDedup {
     */
   def nearDuplicates(spark: SparkSession, corpus: DataFrame, dim: Int,
       threshold: Double = 0.95, nTables: Int = 4, nPlanes: Int = 16,
-      bucketCap: Int = 256, seed: Long = 42L): DataFrame = {
+      bucketCap: Int = 256, seed: Long = 42L, nProbe: Int = 16,
+      ledger: Observation = null): DataFrame = {
     import spark.implicits._
-    val pl = spark.sparkContext.broadcast(
-      Ann.planeTables(nTables, nPlanes, dim, seed))
+    require(nProbe >= 0 && nProbe <= nPlanes, "nProbe in [0, nPlanes]")
+    val rows = probeRows(spark, corpus, dim, nTables, nPlanes, nProbe,
+      seed)
 
-    // slim rows: home bucket + all 1-bit probe buckets per table
-    val rows = corpus.as[(Long, Seq[Float])]
-      .flatMap { case (id, v) =>
-        pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
-          val b = Ann.signBucket(v, t)
-          Iterator((ti, b, id, true)) ++
-            (0 until nPlanes).iterator.map(i => (ti, b ^ (1 << i), id,
-              false))
-        }
-      }.toDF("tbl", "bucket", "id", "home")
-
-    // count pass first: degenerate buckets pruned before materializing
-    val keptKeys = rows.groupBy($"tbl", $"bucket")
-      .agg(count(lit(1)).as("n"))
+    // count pass first: degenerate buckets pruned before materializing;
+    // the optional ledger observes the drops on this same pass
+    val keptKeys = MinHashDedup.observeDrops(
+      rows.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("n")),
+      bucketCap, ledger)
       .filter($"n" > 1 && $"n" <= bucketCap)
       .select($"tbl", $"bucket")
 
@@ -84,22 +121,15 @@ object EmbeddingDedup {
       .select($"id_a", $"id_b")
   }
 
-  /** Buckets pruned by the cap — the recall-loss ledger. */
+  /** Buckets pruned by the cap — the standalone recall-loss inspection
+    * query (shares `probeRows` with `nearDuplicates`; for the free
+    * in-band accounting pass an Observation as `ledger` instead).
+    */
   def oversizedBuckets(spark: SparkSession, corpus: DataFrame, dim: Int,
       nTables: Int = 4, nPlanes: Int = 16, bucketCap: Int = 256,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, nProbe: Int = 16): DataFrame = {
     import spark.implicits._
-    val pl = spark.sparkContext.broadcast(
-      Ann.planeTables(nTables, nPlanes, dim, seed))
-    corpus.as[(Long, Seq[Float])]
-      .flatMap { case (id, v) =>
-        pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
-          val b = Ann.signBucket(v, t)
-          Iterator((ti, b, id, true)) ++
-            (0 until nPlanes).iterator.map(i => (ti, b ^ (1 << i), id,
-              false))
-        }
-      }.toDF("tbl", "bucket", "id", "home")
+    probeRows(spark, corpus, dim, nTables, nPlanes, nProbe, seed)
       .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("n"))
       .filter($"n" > bucketCap)
   }

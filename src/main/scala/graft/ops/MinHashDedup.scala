@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection: word-shingling -> MinHash signatures ->
@@ -128,6 +128,32 @@ object MinHashDedup {
       shingleK: Int): String => Set[Long] =
     if (shingler != null) shingler else shingles(_, shingleK)
 
+  /** Attach the single-pass recall ledger to a bucket-count DataFrame:
+    * the SAME count aggregation that prunes degenerate buckets also
+    * observes how many buckets/rows the cap dropped, so production runs
+    * get recall-loss accounting for free (no second signature pass).
+    * Read `ledger.get` after the first action on the returned plan:
+    * keys `dropped_buckets`, `dropped_rows`.
+    *
+    * Caveat (verified behavior on Spark 4): if NO bucket survives the
+    * prune (zero candidate buckets at all), AQE's empty-relation
+    * propagation replaces the downstream join — including this metrics
+    * node — with an empty relation, and `ledger.get` returns an EMPTY
+    * map rather than zeros. Semantics for callers: a populated map is
+    * the exact drop count; an empty map means "no kept buckets" —
+    * consult `oversizedBuckets` for the breakdown in that (degenerate,
+    * result-set-empty-anyway) case.
+    */
+  private[ops] def observeDrops(counts: DataFrame, bucketCap: Int,
+      ledger: Observation): DataFrame = {
+    import counts.sparkSession.implicits._
+    if (ledger == null) counts
+    else counts.observe(ledger,
+      count(when($"n" > bucketCap, lit(1))).alias("dropped_buckets"),
+      coalesce(sum(when($"n" > bucketCap, $"n")), lit(0L))
+        .alias("dropped_rows"))
+  }
+
   /** Buckets pruned by the cap, i.e. (band, bh, n) with n > bucketCap —
     * the recall-loss ledger for degenerate content. Count/inspect this
     * alongside `nearDuplicates` on the same inputs.
@@ -152,7 +178,8 @@ object MinHashDedup {
   def nearDuplicates(spark: SparkSession, docs: Dataset[(Long, String)],
       shingleK: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, bucketCap: Int = 64,
-      shingler: String => Set[Long] = null): DataFrame = {
+      shingler: String => Set[Long] = null,
+      ledger: Observation = null): DataFrame = {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val seed = 42L
@@ -161,9 +188,12 @@ object MinHashDedup {
     val bandsDf = bandRows(spark, docs, mk, numPerm, bands, seed)
 
     // count pass first: a degenerate bucket is pruned as one (band, bh,
-    // n) row, never materialized as a list
-    val keptKeys = bandsDf.groupBy($"band", $"bh")
-      .agg(count(lit(1)).as("n"))
+    // n) row, never materialized as a list; `ledger` (if given) observes
+    // the dropped bucket/row counts on this same pass — recall loss is
+    // visible without re-running the signature stage
+    val keptKeys = observeDrops(
+      bandsDf.groupBy($"band", $"bh").agg(count(lit(1)).as("n")),
+      bucketCap, ledger)
       .filter($"n" > 1 && $"n" <= bucketCap)
       .select($"band", $"bh")
 

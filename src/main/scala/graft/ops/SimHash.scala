@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SimHash near-dup detection: 64-bit token-weighted fingerprint +
@@ -60,9 +60,13 @@ object SimHash {
       .filter($"n" > bucketCap)
   }
 
-  /** Pairs with Hamming(simhash) <= maxDist; id_a < id_b. */
+  /** Pairs with Hamming(simhash) <= maxDist; id_a < id_b. `ledger` (if
+    * given) observes dropped bucket/row counts on the same count pass
+    * (see MinHashDedup.observeDrops).
+    */
   def nearDuplicates(spark: SparkSession, docs: Dataset[(Long, String)],
-      maxDist: Int = 3, bucketCap: Int = 64): DataFrame = {
+      maxDist: Int = 3, bucketCap: Int = 64,
+      ledger: Observation = null): DataFrame = {
     import spark.implicits._
     val nBlocks = maxDist + 1
 
@@ -71,8 +75,9 @@ object SimHash {
     // count pass first, so a degenerate bucket (e.g. millions of docs
     // sharing a simhash block) is pruned as one (blk, bv, n) row and
     // never materialized in a collect_list aggregation buffer
-    val keptKeys = blocks.groupBy($"blk", $"bv")
-      .agg(count(lit(1)).as("n"))
+    val keptKeys = MinHashDedup.observeDrops(
+      blocks.groupBy($"blk", $"bv").agg(count(lit(1)).as("n")),
+      bucketCap, ledger)
       .filter($"n" > 1 && $"n" <= bucketCap)
       .select($"blk", $"bv")
 

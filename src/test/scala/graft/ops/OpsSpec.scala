@@ -68,6 +68,48 @@ class MinHashDedupSpec extends AnyFunSuite {
     val dropped = MinHashDedup.oversizedBuckets(spark, corpus).collect()
     assert(dropped.length == 16 && dropped.forall(_.getLong(2) == n))
   }
+
+  test("single-pass recall ledger observes drops during nearDuplicates") {
+    import spark.implicits._
+    // mixed corpus: 1000 identical docs (every band bucket oversized,
+    // dropped) + one genuine twin pair (kept buckets, so the plan is
+    // not empty-propagated). The Observation on the SAME count pass
+    // must report exactly the 16 dropped band buckets x 1000 rows.
+    val n = 1000
+    val degenerate = spark.range(n)
+      .select($"id", lit("w1 w2 w3 w4 w5 w6 w7 w8").as("t"))
+      .as[(Long, String)]
+    val r = new java.util.Random(21)
+    val real = (0 until 50).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    val twins = spark.createDataset(Seq(
+      (5000L, real), (5001L, real + " tail")))
+    val corpus = degenerate.union(twins)
+    val obs = new org.apache.spark.sql.Observation("minhash-ledger")
+    val pairs = MinHashDedup.nearDuplicates(spark, corpus, ledger = obs)
+      .collect()
+    assert(pairs.map(p => (p.getLong(0), p.getLong(1))).toSet ==
+      Set((5000L, 5001L)))
+    val m = obs.get
+    assert(m("dropped_buckets") == 16L, m)
+    assert(m("dropped_rows") == 16L * n, m)
+    // matches the standalone inspection query
+    val standalone = MinHashDedup.oversizedBuckets(spark, corpus)
+      .agg(count(lit(1)), sum($"n")).collect()(0)
+    assert(standalone.getLong(0) == 16L &&
+      standalone.getLong(1) == 16L * n)
+  }
+
+  test("ledger empty-map semantics when NO bucket survives (AQE empty " +
+    "propagation, documented in observeDrops)") {
+    import spark.implicits._
+    val corpus = spark.range(100)
+      .select($"id", lit("w1 w2 w3 w4 w5 w6 w7 w8").as("t"))
+      .as[(Long, String)]
+    val obs = new org.apache.spark.sql.Observation("minhash-ledger-e")
+    assert(MinHashDedup.nearDuplicates(spark, corpus, bucketCap = 8,
+      ledger = obs).collect().isEmpty)
+    assert(obs.get.isEmpty) // empty map == zero kept buckets
+  }
 }
 
 class SimHashSpec extends AnyFunSuite {
@@ -126,6 +168,54 @@ class EmbeddingDedupSpec extends AnyFunSuite {
     val keys = pairs.map(p => (p.getLong(0), p.getLong(1))).toSet
     assert((0 until 5).map(i => (i.toLong, i + 100L)).toSet
       .subsetOf(keys), s"got $keys")
+  }
+
+  test("nProbe knob: colinear twins found even at nProbe = 0; candidate " +
+    "volume shrinks monotonically") {
+    import spark.implicits._
+    val r = new java.util.Random(11)
+    val vs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(16)(r.nextFloat() * 2 - 1)))
+    val twins = vs.take(5).map { case (id, v) =>
+      (id + 100L, v.map(x => x * 1.01f))
+    }
+    val corpus = spark.createDataset(vs ++ twins).toDF("id", "vec")
+    // colinear twins share every home bucket -> found with zero probes
+    val p0 = EmbeddingDedup.nearDuplicates(spark, corpus, dim = 16,
+      nProbe = 0).collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert((0 until 5).map(i => (i.toLong, i + 100L)).toSet
+      .subsetOf(p0), s"got $p0")
+    // fewer probes -> the found pair set can only shrink (same verify)
+    val p4 = EmbeddingDedup.nearDuplicates(spark, corpus, dim = 16,
+      nProbe = 4).collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    val p16 = EmbeddingDedup.nearDuplicates(spark, corpus, dim = 16,
+      nProbe = 16).collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(p0.subsetOf(p4) && p4.subsetOf(p16), s"$p0 / $p4 / $p16")
+  }
+
+  test("embedding ledger shares the probe expansion (no second pass)") {
+    import spark.implicits._
+    // 2000 identical vectors (oversized buckets, dropped) + a distinct
+    // twin pair (kept buckets keep the metrics node alive)
+    val n = 2000
+    val degenerate = spark.range(n)
+      .select($"id", typedLit(Seq.fill(16)(0.5f)).as("vec"))
+    val r = new java.util.Random(13)
+    val v = Seq.fill(16)(r.nextFloat() * 2 - 1)
+    val twins = spark.createDataset(Seq(
+      (9000L, v), (9001L, v.map(_ * 1.01f)))).toDF("id", "vec")
+    val corpus = degenerate.union(twins)
+    val obs = new org.apache.spark.sql.Observation("emb-ledger")
+    val pairs = EmbeddingDedup.nearDuplicates(spark, corpus, dim = 16,
+      bucketCap = 64, ledger = obs).collect()
+    assert(pairs.map(p => (p.getLong(0), p.getLong(1)))
+      .contains((9000L, 9001L)))
+    val m = obs.get
+    val standalone = EmbeddingDedup.oversizedBuckets(spark, corpus,
+      dim = 16, bucketCap = 64)
+      .agg(count(lit(1)), sum($"n")).collect()(0)
+    assert(m("dropped_buckets") == standalone.getLong(0), m)
+    assert(m("dropped_rows") == standalone.getLong(1), m)
   }
 }
 
@@ -201,6 +291,33 @@ class AnnSpec extends AnyFunSuite {
     val c1 = Ann.trainIvfCentroids(spark, corpus, 16, 8)
     val c2 = Ann.trainIvfCentroids(spark, corpus, 16, 8)
     assert(c1.flatten.toSeq == c2.flatten.toSeq)
+  }
+
+  test("ivf training is bounded by sampleCap (extra corpus outside the " +
+    "sample cannot change the centroids)") {
+    import spark.implicits._
+    val seed = 42L
+    val dim = 16
+    val base = mkVecs(400, dim, 7)
+    // the sample = the `cap` vectors with smallest mix64(id ^ seed);
+    // find that cutoff, then add junk vectors whose sample keys all land
+    // ABOVE it — training must not see them
+    val cap = 64
+    val cut = base.map { case (id, _) => MinHashDedup.mix64(id ^ seed) }
+      .sorted.apply(cap - 1)
+    val junkIds = (10000L to 40000L)
+      .filter(id => MinHashDedup.mix64(id ^ seed) > cut).take(500)
+    val junk = junkIds.map(id => (id,
+      Seq.tabulate(dim)(d => (MinHashDedup.mix64(id * 31 + d) % 97)
+        .toFloat)))
+    val a = spark.createDataset(base).toDF("id", "vec")
+    val b = spark.createDataset(base ++ junk).toDF("id", "vec")
+    val ca = Ann.trainIvfCentroids(spark, a, dim, 8, sampleCap = cap,
+      seed = seed)
+    val cb = Ann.trainIvfCentroids(spark, b, dim, 8, sampleCap = cap,
+      seed = seed)
+    assert(ca.flatten.toSeq == cb.flatten.toSeq,
+      "training read beyond the bounded sample")
   }
 }
 
