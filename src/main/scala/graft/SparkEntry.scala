@@ -245,6 +245,24 @@ object SparkEntry {
           $"n_frames", $"content_hash")
     },
 
+    // MEDIA-1 real container-header decode: payloads are minimal but
+    // REAL png/gif/bmp/jpeg/wav files synthesized deterministically per
+    // doc_id; Spark parses format/width/height/frames FROM THE BYTES
+    // (fixed-offset reads per the published container specs) while the
+    // oracle recomputes them from the synthesis formulas — a parser or
+    // synthesizer bug on either side breaks the match
+    "t_media_headers" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContainer(id))
+        }
+      graft.ops.Multimodal.extractFeatures(s, media).toDF()
+        .select($"media_id", $"format", $"n_bytes", $"width", $"height",
+          $"n_frames")
+    },
+
     // composed training-data pipeline: extract -> quality-score the
     // extracted text -> exact-dedup (md5 window) -> per-extractor
     // rollup — oracle-checked end to end (quality mirrored via the
@@ -702,6 +720,23 @@ object SparkEntry {
         "WHEN kind = 'audio' THEN 1 + (h >> 23) % 10000 " +
         "ELSE 1 END)::INT AS n_frames, " +
         "sh::BIGINT AS content_hash FROM sg"),
+
+    // the synthesis formulas of Multimodal.synthDims/synthContainer,
+    // recomputed independently — the Spark side must recover them from
+    // the container BYTES alone
+    "t_media_headers" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' " +
+        "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format, " +
+        "(CASE doc_id % 5 WHEN 0 THEN 45 WHEN 1 THEN 14 WHEN 2 THEN 54 " +
+        "WHEN 3 THEN 35 ELSE 44 + 2 * (100 + doc_id % 1000) END)::BIGINT " +
+        "AS n_bytes, " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 7) % 509 " +
+        "END)::INT AS width, " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 13) % 509 " +
+        "END)::INT AS height, " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 ELSE 1 " +
+        "END)::INT AS n_frames FROM documents"),
 
     "x_pipeline_e2e" -> pipelineE2eSql,
 

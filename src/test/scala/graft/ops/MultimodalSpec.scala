@@ -25,6 +25,62 @@ class MultimodalSpec extends AnyFunSuite {
       feats2.sortBy(_.media_id).map(_.content_hash).toSeq)
   }
 
+  test("container-header parsers recover synthesized dims (MEDIA-1)") {
+    for (id <- 0L until 100L) {
+      val (w, h, frames) = Multimodal.synthDims(id)
+      val bytes = Multimodal.synthContainer(id)
+      val parsed = Multimodal.parseContainerHeader(bytes)
+      assert(parsed.isDefined, s"id=$id unparsed")
+      val (fmt, pw, ph, pf) = parsed.get
+      val expFmt = Seq("png", "gif", "bmp", "jpeg", "wav")((id % 5).toInt)
+      assert(fmt == expFmt, s"id=$id")
+      if (fmt == "wav") {
+        assert((pw, ph, pf) == (0, 0, frames), s"id=$id")
+        assert(bytes.length == 44 + 2 * frames)
+      } else {
+        assert((pw, ph, pf) == (w, h, 1), s"id=$id got ($pw,$ph,$pf)")
+        val expLen = Map("png" -> 45, "gif" -> 14, "bmp" -> 54,
+          "jpeg" -> 35)(fmt)
+        assert(bytes.length == expLen, s"id=$id")
+      }
+    }
+  }
+
+  test("hand-built headers parse per the published specs") {
+    // PNG 640x480 (big-endian dims at 16/20)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xE0, 8, 6, 0, 0, 0)
+      .map(_.toByte)
+    assert(Multimodal.parsePng(png).contains(("png", 640, 480, 1)))
+    // GIF 320x200 (little-endian dims at 6/8)
+    val gif = ("GIF89a".getBytes("ASCII") ++
+      Array[Int](0x40, 0x01, 0xC8, 0x00, 0, 0, 0).map(_.toByte))
+    assert(Multimodal.parseGif(gif).contains(("gif", 320, 200, 1)))
+    // BMP 100 x -200 (top-down height reported as magnitude)
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40
+    bmp(18) = 100 // width LE
+    val negH = -200
+    bmp(22) = (negH & 0xFF).toByte; bmp(23) = ((negH >> 8) & 0xFF).toByte
+    bmp(24) = ((negH >> 16) & 0xFF).toByte
+    bmp(25) = ((negH >> 24) & 0xFF).toByte
+    assert(Multimodal.parseBmp(bmp).contains(("bmp", 100, 200, 1)))
+  }
+
+  test("unknown or truncated magic falls back to the stub") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRow(1L, "image", "plain text payload".getBytes),
+      Multimodal.MediaRow(2L, "image", Array[Byte](0x89.toByte, 'P')),
+      Multimodal.MediaRow(3L, "image",
+        Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)))
+    val feats = Multimodal.extractFeatures(spark,
+      spark.createDataset(junk)).collect().sortBy(_.media_id)
+    assert(feats.forall(_.format == "unknown"))
+    assert(feats.forall(f => f.width >= 64)) // stub-derived
+  }
+
   test("embedding from bytes feeds the ANN path") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark,
