@@ -586,16 +586,44 @@ object SparkEntry {
 
     "t_lang_id" -> { (s, dir) =>
       import s.implicits._
-      // LANGID-2 (see ops/Lexicon.scala): script presence then
-      // stopword-ratio argmax over en/de/fr/es; lex_hash pins the
-      // exact dictionary contents into the correctness gate
+      // LANGID-3 (see ops/Lexicon.scala): script presence then
+      // stopword-ratio argmax over en/de/fr/es/it/pt/nl; lex_hash pins
+      // the exact dictionary contents into the correctness gate.
+      // Deterministic fixture rows are appended so every branch (incl.
+      // the v3 languages and all script classes) is exercised
+      // regardless of the documents-table contents.
       // repartition: single-file scan would otherwise run this
       // CPU-bound classifier on one core (see t_repetition note)
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      val fixtures = s.createDataset(langFixtures).toDF("doc_id", "text")
+      docs(s, dir).select($"doc_id", $"text").union(fixtures)
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           graft.ops.Lexicon.langId($"text").as("lang_pred"),
           lit(graft.ops.Lexicon.collection.contentHash).as("lex_hash"))
     })
+
+  /** LANGID-3 fixture turns appended by t_lang_id (mirrored into the
+    * oracle as VALUES from this same list): two rows per stopword
+    * language family plus each script class and an 'other'.
+    */
+  private val langFixtures: Seq[(Long, String)] = Seq(
+    9000001L -> ("il gatto è sopra il tavolo e non vuole scendere " +
+      "perché ha paura"),
+    9000002L -> ("o menino foi para a escola com a sua mochila e não " +
+      "voltou cedo"),
+    9000003L -> ("de kinderen spelen in het park met een bal en zijn " +
+      "erg blij"),
+    9000004L -> ("la maison est grande et le jardin est plein de " +
+      "fleurs pour nous"),
+    9000005L -> ("der hund läuft durch den park und ist sehr " +
+      "glücklich mit dem ball"),
+    9000006L -> "el perro corre por el parque y es muy feliz con su pelota",
+    9000007L -> "the cat is on the table and it does not want to come down",
+    9000008L -> "これは日本語のテキストです",
+    9000009L -> "한국어 텍스트입니다",
+    9000010L -> "这是中文文本",
+    9000011L -> "это русский текст для проверки",
+    9000012L -> "xyzzy qwerty asdfgh")
 
   /** Planted-twin ANN corpus shared by t_ann_lsh / t_ann_ivf: base
     * embeddings plus 3 colinear twins per query vector.
@@ -980,35 +1008,44 @@ object SparkEntry {
         "round(median(abs(l_quantity - med.med)), 4) AS mad " +
         "FROM lineitem JOIN med USING (l_returnflag) GROUP BY 1"),
 
-    "t_lang_id" ->
-      ("WITH t AS (SELECT doc_id, text, " +
-        "list_filter(string_split(lower(text), ' '), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "r AS (SELECT doc_id, text, toks, " +
-        "len(list_filter(toks, x -> x IN ('the','a','of','and','to'," +
-        "'in','is','it','you','that','he','was'))) * 1.0 / " +
-        "greatest(len(toks), 1) AS r_en, " +
-        "len(list_filter(toks, x -> x IN ('der','die','das','und'," +
-        "'ist','ich','nicht','ein','eine','mit','auf','zu'))) * 1.0 / " +
-        "greatest(len(toks), 1) AS r_de, " +
-        "len(list_filter(toks, x -> x IN ('le','la','les','et','un'," +
-        "'une','est','que','pour','dans','ce','pas'))) * 1.0 / " +
-        "greatest(len(toks), 1) AS r_fr, " +
-        "len(list_filter(toks, x -> x IN ('el','los','las','y','es'," +
-        "'en','por','con','para','una','como','su'))) * 1.0 / " +
-        "greatest(len(toks), 1) AS r_es FROM t) " +
-        "SELECT doc_id, CASE " +
-        "WHEN len(toks) = 0 THEN 'other' " +
-        "WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja' " +
-        "WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko' " +
-        "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
-        "WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
-        "WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es AND " +
-        "r_en >= 0.03 THEN 'en' " +
-        "WHEN r_de >= r_fr AND r_de >= r_es AND r_de >= 0.03 " +
-        "THEN 'de' " +
-        "WHEN r_fr >= r_es AND r_fr >= 0.03 THEN 'fr' " +
-        "WHEN r_es >= 0.03 THEN 'es' ELSE 'other' END AS lang_pred, " +
-        "'1ae5c9b63faf8888188da2b5682443411b2ddee1e77d29d31479883ba" +
-        "4626b52' AS lex_hash FROM r"))
+    "t_lang_id" -> langIdOracleSql)
+
+  /** LANGID-3 oracle: IN-lists and the argmax CASE chain are GENERATED
+    * from the same frozen stopword vectors the Spark expression uses
+    * (no transcription drift), while the lex_hash stays a HARD-CODED
+    * literal — editing a stopword list without re-pinning breaks the
+    * gate, which is the pin's purpose.
+    */
+  private lazy val langIdOracleSql: String = {
+    val langs = graft.ops.Lexicon.langOrder
+    val ratios = langs.map { l =>
+      val words = graft.ops.Lexicon.collection(l).words
+        .map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, x -> x IN ($words))) * 1.0 / " +
+        s"greatest(len(toks), 1) AS r_$l"
+    }.mkString(", ")
+    val caseChain = langs.indices.map { i =>
+      val conds = (i + 1 until langs.length)
+        .map(j => s"r_${langs(i)} >= r_${langs(j)}") :+
+        s"r_${langs(i)} >= 0.03"
+      s"WHEN ${conds.mkString(" AND ")} THEN '${langs(i)}'"
+    }.mkString(" ")
+    val fixtures = langFixtures
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    "WITH src AS (SELECT doc_id, text FROM documents UNION ALL " +
+      s"SELECT * FROM (VALUES $fixtures) fx(doc_id, text)), " +
+      "t AS (SELECT doc_id, text, " +
+      "list_filter(string_split(lower(text), ' '), x -> x <> '') " +
+      "AS toks FROM src), " +
+      s"r AS (SELECT doc_id, text, toks, $ratios FROM t) " +
+      "SELECT doc_id, CASE " +
+      "WHEN len(toks) = 0 THEN 'other' " +
+      "WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja' " +
+      "WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko' " +
+      "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+      "WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
+      s"$caseChain ELSE 'other' END AS lang_pred, " +
+      "'f63b9a4141b95e512ff38293c887eafaf6dbb3ebb7eddf9a274f48fc9bf1" +
+      "73d7' AS lex_hash FROM r"
+  }
 }

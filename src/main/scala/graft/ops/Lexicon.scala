@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Lexicon machinery + frozen language-ID spec LANGID-2.
+/** Lexicon machinery + frozen language-ID spec LANGID-3.
   *
   * Mirrors the reference's lexicon layer: named word collections with a
   * CONTENT-HASH pin so a run records exactly which dictionary produced
@@ -12,15 +12,23 @@ import org.apache.spark.sql.functions._
   * lookups (vkit/utility/text/opt.py:50-99 uses an interval tree; at
   * this scale a sorted-array binary search is the same contract).
   *
-  * LANGID-2 (frozen; the DuckDB oracle mirrors it EXACTLY — change both
-  * together):
+  * LANGID-3 (frozen; the DuckDB oracle mirrors it EXACTLY — change both
+  * together and re-pin the contentHash literal in the oracle):
   *   1. no tokens -> 'other'
   *   2. script presence, first match wins: hiragana/katakana -> 'ja',
   *      hangul -> 'ko', CJK ideographs -> 'zh', cyrillic -> 'ru'
-  *      (ja/ko precede zh because those scripts co-occur with kanji)
-  *   3. else stopword-ratio argmax over {en, de, fr, es} on lowercased
-  *      whitespace tokens; winner needs ratio >= 0.03; ties break in
-  *      the fixed order en, de, fr, es; no winner -> 'other'
+  *      (ja/ko precede zh because those scripts co-occur with kanji);
+  *      the regex character classes are GENERATED from `charRanges` —
+  *      one source of truth for script ranges
+  *   3. else stopword-ratio argmax over {en, de, fr, es, it, pt, nl}
+  *      (50 stopwords per language) on lowercased whitespace tokens;
+  *      winner needs ratio >= 0.03; ties break in the fixed order
+  *      en, de, fr, es, it, pt, nl; no winner -> 'other'
+  *
+  * v2 -> v3: stopword breadth 12 -> 50 per language, added it/pt/nl
+  * (cross-language collisions like 'de'/'la'/'que' are resolved by the
+  * argmax over full lists), script regexes now derived from the
+  * interval table.
   */
 object Lexicon {
 
@@ -47,16 +55,57 @@ object Lexicon {
     d.map(b => f"$b%02x").mkString
   }
 
-  /** LANGID-2 stopword sets (frozen; lowercase). */
+  /** LANGID-3 stopword sets (frozen; lowercase; 50 per language —
+    * standard high-frequency function words).
+    */
   val stopwords: Vector[Lex] = Vector(
-    Lex("en", Vector("the", "a", "of", "and", "to", "in", "is", "it",
-      "you", "that", "he", "was")),
+    Lex("en", Vector("the", "a", "an", "of", "and", "to", "in", "is",
+      "it", "you", "that", "he", "was", "for", "on", "are", "as",
+      "with", "his", "they", "i", "at", "be", "this", "have", "from",
+      "or", "one", "had", "by", "not", "but", "what", "all", "were",
+      "we", "when", "your", "can", "said", "there", "use", "each",
+      "which", "she", "do", "how", "their", "if", "will")),
     Lex("de", Vector("der", "die", "das", "und", "ist", "ich", "nicht",
-      "ein", "eine", "mit", "auf", "zu")),
+      "ein", "eine", "mit", "auf", "zu", "den", "dem", "des", "er",
+      "sie", "es", "wir", "ihr", "aber", "auch", "als", "aus", "bei",
+      "bin", "bis", "durch", "für", "gegen", "haben", "hat", "hatte",
+      "im", "kann", "mein", "nach", "noch", "nur", "oder", "sein",
+      "sind", "so", "über", "um", "von", "vor", "war", "wenn", "wie")),
     Lex("fr", Vector("le", "la", "les", "et", "un", "une", "est", "que",
-      "pour", "dans", "ce", "pas")),
+      "pour", "dans", "ce", "pas", "de", "du", "des", "il", "elle",
+      "nous", "vous", "ils", "je", "tu", "ne", "se", "son", "sa",
+      "ses", "sur", "au", "aux", "avec", "par", "plus", "mais", "ou",
+      "où", "qui", "quoi", "être", "avoir", "cette", "comme", "tout",
+      "fait", "ont", "sont", "était", "même", "aussi", "bien")),
     Lex("es", Vector("el", "los", "las", "y", "es", "en", "por", "con",
-      "para", "una", "como", "su")))
+      "para", "una", "como", "su", "de", "la", "que", "no", "a", "un",
+      "se", "del", "lo", "más", "pero", "sus", "fue", "este", "esta",
+      "son", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+      "hasta", "hay", "donde", "quien", "desde", "todo", "nos",
+      "durante", "todos", "uno", "ni", "contra", "otros", "ese",
+      "eso")),
+    Lex("it", Vector("il", "lo", "la", "i", "gli", "le", "di", "a",
+      "da", "in", "con", "su", "per", "tra", "fra", "un", "uno", "una",
+      "e", "è", "che", "chi", "cui", "non", "più", "quale", "quanto",
+      "quanti", "quella", "questo", "questi", "si", "tutto", "tutti",
+      "anche", "sono", "essere", "ho", "ha", "hanno", "come", "dove",
+      "quando", "perché", "ma", "se", "noi", "voi", "loro", "mia")),
+    Lex("pt", Vector("o", "a", "os", "as", "de", "do", "da", "dos",
+      "das", "um", "uma", "e", "é", "que", "não", "em", "no", "na",
+      "nos", "nas", "por", "para", "com", "se", "mais", "como", "mas",
+      "foi", "ao", "ele", "ela", "seu", "sua", "ou", "ser", "quando",
+      "muito", "há", "já", "está", "eu", "também", "só", "pelo",
+      "pela", "até", "isso", "entre", "era", "depois")),
+    Lex("nl", Vector("de", "het", "een", "en", "van", "ik", "te",
+      "dat", "die", "in", "je", "niet", "zijn", "is", "was", "op",
+      "aan", "met", "als", "voor", "er", "maar", "om", "hem", "dan",
+      "zou", "of", "wat", "mijn", "men", "dit", "zo", "door", "over",
+      "ze", "zich", "bij", "ook", "tot", "uit", "naar", "heeft",
+      "hij", "nog", "kan", "mij", "wel", "geen", "worden", "haar")))
+
+  /** Fixed argmax tie order (earlier wins). */
+  val langOrder: Vector[String] =
+    Vector("en", "de", "fr", "es", "it", "pt", "nl")
 
   val collection: Collection = Collection(stopwords)
 
@@ -95,7 +144,16 @@ object Lexicon {
     "other"
   }
 
-  /** LANGID-2 as a pure codegen'd Column expression (no UDF). */
+  /** Regex character class for the given char classes, GENERATED from
+    * `charRanges` — langId's script-presence branch and any other
+    * consumer share one source of truth for script ranges.
+    */
+  def rangesRegex(classes: String*): String =
+    "[" + charRanges.filter(r => classes.contains(r._3))
+      .map { case (a, b, _) => f"\\x{$a%04X}-\\x{$b%04X}" }
+      .mkString + "]"
+
+  /** LANGID-3 as a pure codegen'd Column expression (no UDF). */
   def langId(text: Column): Column = {
     val toks = filter(split(lower(text), " "), x => x =!= lit(""))
     // denominator floored at 1 (mirrored in the oracle SQL) so the
@@ -106,19 +164,19 @@ object Lexicon {
       size(filter(toks, x => array_contains(arr, x)))
         .cast("double") / total
     }
-    val rEn = ratio(collection("en"))
-    val rDe = ratio(collection("de"))
-    val rFr = ratio(collection("fr"))
-    val rEs = ratio(collection("es"))
-    when(size(toks) === 0, "other")
-      .when(text.rlike("[\\x{3040}-\\x{30FF}]"), "ja")
-      .when(text.rlike("[\\x{AC00}-\\x{D7AF}]"), "ko")
-      .when(text.rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
-      .when(text.rlike("[\\x{0400}-\\x{04FF}]"), "ru")
-      .when(rEn >= rDe && rEn >= rFr && rEn >= rEs && rEn >= 0.03, "en")
-      .when(rDe >= rFr && rDe >= rEs && rDe >= 0.03, "de")
-      .when(rFr >= rEs && rFr >= 0.03, "fr")
-      .when(rEs >= 0.03, "es")
-      .otherwise("other")
+    val r = langOrder.map(l => ratio(collection(l)))
+    // lang i wins if its ratio >= every later ratio (earlier langs
+    // already failed their own test) and >= 0.03
+    val base = when(size(toks) === 0, "other")
+      .when(text.rlike(rangesRegex("hiragana", "katakana")), "ja")
+      .when(text.rlike(rangesRegex("hangul")), "ko")
+      .when(text.rlike(rangesRegex("cjk")), "zh")
+      .when(text.rlike(rangesRegex("cyrillic")), "ru")
+    langOrder.indices.foldLeft(base) { (acc, i) =>
+      val wins = (i + 1 until langOrder.length)
+        .map(j => r(i) >= r(j))
+        .foldLeft(r(i) >= 0.03)(_ && _)
+      acc.when(wins, langOrder(i))
+    }.otherwise("other")
   }
 }

@@ -13,7 +13,23 @@ class LexiconSpec extends AnyFunSuite {
     assert(a.contentHash != Lexicon.Lex("x", Vector("a", "c")).contentHash)
     // the pinned collection hash the t_lang_id oracle hardcodes
     assert(Lexicon.collection.contentHash ==
-      "1ae5c9b63faf8888188da2b5682443411b2ddee1e77d29d31479883ba4626b52")
+      "f63b9a4141b95e512ff38293c887eafaf6dbb3ebb7eddf9a274f48fc9bf173d7")
+  }
+
+  test("LANGID-3 lists are 50 distinct lowercase words per language") {
+    assert(Lexicon.langOrder ==
+      Vector("en", "de", "fr", "es", "it", "pt", "nl"))
+    for (l <- Lexicon.stopwords) {
+      assert(l.words.length == 50, l.name)
+      assert(l.words.distinct.length == 50, l.name)
+      assert(l.words.forall(w => w == w.toLowerCase), l.name)
+    }
+  }
+
+  test("script regexes are generated from the interval table") {
+    assert(Lexicon.rangesRegex("hangul") == "[\\x{AC00}-\\x{D7AF}]")
+    assert(Lexicon.rangesRegex("hiragana", "katakana") ==
+      "[\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]")
   }
 
   test("char classes via interval search") {
@@ -31,24 +47,30 @@ class LexiconSpec extends AnyFunSuite {
     assert(Lexicon.charClass(' ') == "other")
   }
 
-  test("LANGID-2 classifies scripts and stopword languages") {
+  test("LANGID-3 classifies scripts and all 7 stopword languages") {
     import spark.implicits._
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy to be there"),
       (2L, "der hund ist nicht mit der katze auf dem sofa"),
       (3L, "le chat est dans la maison pour la nuit ce soir"),
       (4L, "los gatos y los perros en la casa por la noche"),
-      (5L, "日本語のテキストです"), // kana -> ja
-      (6L, "한국어 텍스트입니다"), // hangul -> ko
-      (7L, "中文文本在这里"), // ideographs only -> zh
-      (8L, "русский текст здесь"), // cyrillic -> ru
-      (9L, "zzz qqq xxx www yyy"), // no stopwords -> other
-      (10L, "   ")) // no tokens -> other
+      (5L, "il gatto è sopra il tavolo e non vuole scendere perché " +
+        "ha paura"), // it
+      (6L, "o menino foi para a escola com a sua mochila e não " +
+        "voltou cedo"), // pt
+      (7L, "de kinderen spelen in het park met een bal en zijn erg " +
+        "blij"), // nl
+      (8L, "日本語のテキストです"), // kana -> ja
+      (9L, "한국어 텍스트입니다"), // hangul -> ko
+      (10L, "中文文本在这里"), // ideographs only -> zh
+      (11L, "русский текст здесь"), // cyrillic -> ru
+      (12L, "zzz qqq xxx www yyy"), // no stopwords -> other
+      (13L, "   ")) // no tokens -> other
     val out = samples.toDF("id", "text")
       .select($"id", Lexicon.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
-      5L -> "ja", 6L -> "ko", 7L -> "zh", 8L -> "ru", 9L -> "other",
-      10L -> "other"))
+      5L -> "it", 6L -> "pt", 7L -> "nl", 8L -> "ja", 9L -> "ko",
+      10L -> "zh", 11L -> "ru", 12L -> "other", 13L -> "other"))
   }
 }
