@@ -208,8 +208,7 @@ object SparkEntry {
     // the same expected-extraction SQL as x_transcripts
     "x_streaming" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-stream").toString
+      val tmp = streamScratch("plain")
       docTurns(s, dir)
         .filter(!$"text".startsWith("stale duplicate"))
         .write.mode("overwrite").parquet(s"$tmp/in")
@@ -219,6 +218,36 @@ object SparkEntry {
       graft.streaming.StreamingJob
         .writer(out, s"$tmp/out", s"$tmp/ckpt")
         .start().awaitTermination()
+      dropStreamStaging(tmp)
+      s.read.parquet(s"$tmp/out").select($"conv_id", $"turn_idx",
+        $"extractor", $"extracted_text".as("extracted"))
+    },
+
+    // streaming WITH duplicates through the stateful cross-batch dedupe
+    // (dropDuplicatesWithinWatermark): every turn is staged TWICE — the
+    // exact copies land in separate input files, so maxFilesPerTrigger=2
+    // spreads original and duplicate across micro-batches — and the
+    // deduped extraction must reproduce the same batch oracle
+    // (x_transcripts). Exact duplicates make the winner deterministic
+    // regardless of arrival order; a key can never be emitted twice
+    // because a row survives late-drop only while its dedupe state is
+    // alive (late-drop iff ts < watermark, expiry iff watermark >
+    // ts + delay).
+    "x_streaming_dedupe" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = streamScratch("dedupe")
+      val base = docTurns(s, dir)
+        .filter(!$"text".startsWith("stale duplicate"))
+      base.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      base.repartition(4).write.mode("append").parquet(s"$tmp/in")
+      val stream = graft.streaming.StreamingJob.readTurnStream(s,
+        s"$tmp/in", maxFilesPerTrigger = 2)
+      val deduped = graft.streaming.StreamingJob.withDedupe(stream)
+      val out = graft.streaming.StreamingJob.extractStream(deduped)
+      graft.streaming.StreamingJob
+        .writer(out, s"$tmp/out", s"$tmp/ckpt")
+        .start().awaitTermination()
+      dropStreamStaging(tmp)
       s.read.parquet(s"$tmp/out").select($"conv_id", $"turn_idx",
         $"extractor", $"extracted_text".as("extracted"))
     },
@@ -469,7 +498,15 @@ object SparkEntry {
     "t_dedup_embedding" -> { (s, dir) =>
       import s.implicits._
       // corpus = embeddings + scaled twins (cosine exactly 1.0);
-      // LSH buckets + multi-probe + exact cosine >= 0.95 verify
+      // LSH buckets + multi-probe + exact cosine >= 0.95 verify.
+      // FIXTURE INVARIANT (do not break): the oracle is an exhaustive
+      // all-pairs cosine>=0.95 scan, while the engine is recall-lossy
+      // for non-colinear pairs (~0.94 at these settings); the gate is
+      // exact ONLY because every qualifying pair here is exactly
+      // colinear (0 hyperplane sign flips -> guaranteed bucket match).
+      // Adding a ~0.95-cosine non-colinear pair to the fixture would
+      // make this gate flaky — use a planted-twin oracle (t_ann_lsh
+      // style) instead if that regime is ever needed.
       val emb = tbl(s, dir, "embeddings")
         .select($"vec_id".as("id"), $"embedding".as("vec"))
       val twins = emb.select(($"id" + 1000000L).as("id"),
@@ -645,6 +682,32 @@ object SparkEntry {
     (base.union(twins), queries)
   }
 
+  /** Fixed scratch dir for a streaming query, wiped at query start so
+    * repeated verify runs never accumulate staged corpora under /tmp
+    * (the `out` subdir must outlive the query builder — the returned
+    * DataFrame reads it lazily — so cleanup is wipe-on-next-run plus
+    * `dropStreamStaging` for the input/checkpoint halves).
+    */
+  private def streamScratch(name: String): String = {
+    val dir = new java.io.File(s"/tmp/graft-stream/$name")
+    deleteTree(dir)
+    dir.mkdirs()
+    dir.toString
+  }
+
+  /** Delete the staged input + checkpoint (no longer needed once the
+    * stream has terminated); the parquet sink stays for the lazy read.
+    */
+  private def dropStreamStaging(tmp: String): Unit = {
+    deleteTree(new java.io.File(s"$tmp/in"))
+    deleteTree(new java.io.File(s"$tmp/ckpt"))
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
+
   /** Deterministic PII-rich suffix appended to every 5th doc by
     * t_redact (mirrored verbatim in the oracle SQL).
     */
@@ -725,6 +788,9 @@ object SparkEntry {
 
     // streaming path must land the identical extraction
     "x_streaming" -> transcriptsSql,
+
+    // streaming WITH duplicates + stateful dedupe must land it too
+    "x_streaming_dedupe" -> transcriptsSql,
 
     // mirror of Multimodal.decodeStub: FNV-1a over the payload bytes
     // (ASCII text -> same as chars) in mod-2^64 HUGEINT arithmetic,

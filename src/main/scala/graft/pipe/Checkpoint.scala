@@ -96,8 +96,15 @@ object Checkpoint {
   def runIncremental(spark: SparkSession, inputDir: String,
       outputDir: String, stateDir: String, runId: String): Int = {
     import spark.implicits._
+    val manifest = readManifest(spark, stateDir)
+    // crash-replay reuses an UNcommitted runId; reusing a COMMITTED one
+    // after new input lands would silently overwrite that run's
+    // published rows while the manifest still marks its files processed
+    require(!manifest.runs.contains(runId),
+      s"runId '$runId' is already committed under $stateDir — " +
+        "pick a fresh runId for new increments")
     val todo = listInputFiles(spark, inputDir)
-      .filterNot(processedFiles(spark, stateDir))
+      .filterNot(manifest.files)
     if (todo.isEmpty) return 0
     val turns = spark.read.parquet(todo: _*).as[Turn]
     val (out, acc) = Job.run(spark, turns, runId)

@@ -162,8 +162,12 @@ object Job {
     * Exactly-once: Spark guarantees exactly-once accumulator updates
     * only for ACTIONS; task retries/speculation inside a transformation
     * can append duplicate rows. We therefore record the task attempt
-    * number and keep ONE row per (run, stage, partition) — the highest
-    * attempt, i.e. the one whose output the scheduler actually kept.
+    * number and keep ONE deterministic representative per (run, stage,
+    * partition) — the highest attempt. (Under speculation the scheduler
+    * may commit a LOWER attempt's output, and stage re-attempts restart
+    * attempt numbering; rows_in/rows_out are identical across attempts
+    * because extraction is deterministic, so only wall_ms can come from
+    * a losing attempt.)
     */
   def lineage(spark: SparkSession,
       acc: CollectionAccumulator[LineageRow]): Dataset[LineageRow] = {

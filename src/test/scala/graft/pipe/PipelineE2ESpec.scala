@@ -250,5 +250,17 @@ class CheckpointSpec extends AnyFunSuite {
     assert(runs == Set("run1", "run3"))
     assert(Checkpoint.committedRuns(spark, stateDir)
       == Set("run1", "run3"))
+
+    // reusing a COMMITTED runId after new input lands must be refused —
+    // the overwrite would destroy run1's published rows while the
+    // manifest still marks its files processed
+    writeBatch("d", 8 until 9)
+    promote("d")
+    intercept[IllegalArgumentException] {
+      Checkpoint.runIncremental(spark, inDir, outDir, stateDir, "run1")
+    }
+    // and the refused attempt must not have touched committed output
+    assert(Checkpoint.readCommitted(spark, outDir, stateDir).count()
+      == count2)
   }
 }
