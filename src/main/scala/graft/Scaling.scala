@@ -31,7 +31,13 @@ object Scaling {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      // FIXED partition count on both legs (not = cores): per-partition
+      // sort/shuffle volume must be equal across N and 4N, or the
+      // low-core leg sorts 4x-bigger partitions and spills — measuring
+      // memory pressure, not parallel efficiency. 32 matches the
+      // driver/Bench config; a real cluster sizes partitions by
+      // maxPartitionBytes/AQE, independent of executor count.
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -65,8 +65,12 @@ object EmbeddingDedup {
             if (dot >= 0) b |= (1 << p)
             p += 1
           }
-          val flips = (0 until nPlanes)
-            .sortBy(p => (math.abs(dots(p)), p)).take(nProbe)
+          // full-probe fast path: flipping every plane needs no margin
+          // ordering (the flip SET is all planes either way)
+          val flips =
+            if (nProbe >= nPlanes) 0 until nPlanes
+            else (0 until nPlanes)
+              .sortBy(p => (math.abs(dots(p)), p)).take(nProbe)
           Iterator((ti, b, id, true)) ++
             flips.iterator.map(p => (ti, b ^ (1 << p), id, false))
         }
