@@ -208,7 +208,7 @@ object SparkEntry {
     // the same expected-extraction SQL as x_transcripts
     "x_streaming" -> { (s, dir) =>
       import s.implicits._
-      val tmp = streamScratch("plain")
+      val tmp = scratchDir("plain")
       docTurns(s, dir)
         .filter(!$"text".startsWith("stale duplicate"))
         .write.mode("overwrite").parquet(s"$tmp/in")
@@ -235,7 +235,7 @@ object SparkEntry {
     // ts + delay).
     "x_streaming_dedupe" -> { (s, dir) =>
       import s.implicits._
-      val tmp = streamScratch("dedupe")
+      val tmp = scratchDir("dedupe")
       val base = docTurns(s, dir)
         .filter(!$"text".startsWith("stale duplicate"))
       base.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
@@ -250,6 +250,22 @@ object SparkEntry {
       dropStreamStaging(tmp)
       s.read.parquet(s"$tmp/out").select($"conv_id", $"turn_idx",
         $"extractor", $"extracted_text".as("extracted"))
+    },
+
+    // the full pipeline (dedupe included) over a LINE-DELIMITED JSON
+    // source instead of parquet: turns staged as JSONL, read back with
+    // the explicit-schema source (no inference pass — see
+    // sources/TranscriptSource scale notes), extracted, and must land
+    // the identical oracle as x_transcripts — proving timestamp/text
+    // round-tripping and the non-parquet ingestion path end to end
+    "x_jsonl_source" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("jsonl")
+      docTurns(s, dir).write.mode("overwrite").json(s"$tmp/in")
+      val turns = graft.sources.TranscriptSource.jsonl(s, s"$tmp/in")
+      val (out, _) = Job.run(s, turns, "jsonl-src")
+      out.toDF().select($"conv_id", $"turn_idx", $"extractor",
+        $"extracted_text".as("extracted"))
     },
 
     // multimodal plumbing end to end: binary payloads derived from the
@@ -688,8 +704,8 @@ object SparkEntry {
     * DataFrame reads it lazily — so cleanup is wipe-on-next-run plus
     * `dropStreamStaging` for the input/checkpoint halves).
     */
-  private def streamScratch(name: String): String = {
-    val dir = new java.io.File(s"/tmp/graft-stream/$name")
+  private def scratchDir(name: String): String = {
+    val dir = new java.io.File(s"/tmp/graft-scratch/$name")
     deleteTree(dir)
     dir.mkdirs()
     dir.toString
@@ -792,6 +808,9 @@ object SparkEntry {
     // streaming WITH duplicates + stateful dedupe must land it too
     "x_streaming_dedupe" -> transcriptsSql,
 
+    // the JSONL ingestion path must land it too
+    "x_jsonl_source" -> transcriptsSql,
+
     // mirror of Multimodal.decodeStub: FNV-1a over the payload bytes
     // (ASCII text -> same as chars) in mod-2^64 HUGEINT arithmetic,
     // then the stub's width/height/frames/hash derivations
@@ -822,14 +841,16 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, " +
         "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' " +
         "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format, " +
-        "(CASE doc_id % 5 WHEN 0 THEN 45 WHEN 1 THEN 14 WHEN 2 THEN 54 " +
+        "(CASE doc_id % 5 WHEN 0 THEN 45 " +
+        "WHEN 1 THEN 14 + 22 * (1 + doc_id % 5) WHEN 2 THEN 54 " +
         "WHEN 3 THEN 35 ELSE 44 + 2 * (100 + doc_id % 1000) END)::BIGINT " +
         "AS n_bytes, " +
         "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 7) % 509 " +
         "END)::INT AS width, " +
         "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 13) % 509 " +
         "END)::INT AS height, " +
-        "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 ELSE 1 " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 " +
+        "WHEN doc_id % 5 = 1 THEN 1 + doc_id % 5 ELSE 1 " +
         "END)::INT AS n_frames FROM documents"),
 
     "x_pipeline_e2e" -> pipelineE2eSql,

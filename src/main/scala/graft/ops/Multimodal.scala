@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *    DECODE (vs header metadata) stays stubbed — this container ships
   *    no image/audio libraries; swap the embedding/content branch for a
   *    real codec (e.g. TwelveMonkeys/JavaCV) in production;
-  *  - stills (png/gif/bmp/jpeg) report n_frames = 1; WAV reports
-  *    data-chunk sample frames (dataSize / blockAlign); width/height
-  *    are 0 for audio.
+  *  - stills (png/bmp/jpeg) report n_frames = 1; GIF reports its image-
+  *    descriptor count from the block walk (animated GIFs get real
+  *    frame counts, min 1); WAV reports data-chunk sample frames
+  *    (dataSize / blockAlign); width/height are 0 for audio.
   */
 object Multimodal {
 
@@ -67,13 +68,44 @@ object Multimodal {
     else None
 
   /** GIF87a/GIF89a: logical screen width/height, little-endian u16 at
-    * offsets 6/8.
+    * offsets 6/8; frame count = number of image descriptors (0x2C)
+    * found by the block walk (extensions are 0x21 + label + sub-block
+    * chains; color tables are 3 * 2^(depth+1) bytes). A header-only or
+    * malformed tail reports the frames counted so far, min 1.
     */
-  def parseGif(b: Array[Byte]): Option[(String, Int, Int, Int)] =
-    if (b.length >= 10 &&
-      (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
-      Some(("gif", le16(b, 6), le16(b, 8), 1))
-    else None
+  def parseGif(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length < 13 ||
+      !(ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))) return None
+    val (w, h) = (le16(b, 6), le16(b, 8))
+    var frames = 0
+    var p = 13
+    // global color table if the packed flag (bit 7 at offset 10) is set
+    if ((u8(b, 10) & 0x80) != 0) p += 3 * (1 << ((u8(b, 10) & 7) + 1))
+    def skipSubBlocks(): Boolean = {
+      while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+      if (p >= b.length) false else { p += 1; true } // consume terminator
+    }
+    var ok = true
+    while (ok && p < b.length && u8(b, p) != 0x3B) {
+      u8(b, p) match {
+        case 0x21 => // extension: introducer + label + sub-blocks
+          p += 2
+          ok = skipSubBlocks()
+        case 0x2C => // image descriptor
+          if (p + 10 > b.length) ok = false
+          else {
+            frames += 1
+            val packed = u8(b, p + 9)
+            p += 10
+            if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
+            p += 1 // LZW minimum code size
+            ok = skipSubBlocks()
+          }
+        case _ => ok = false // unknown block: stop counting
+      }
+    }
+    Some(("gif", w, h, math.max(1, frames)))
+  }
 
   /** BMP: "BM" file header + BITMAPINFOHEADER (DIB size 40 at offset
     * 14): width LE i32 at 18, height LE i32 at 22 (negative = top-down;
@@ -182,15 +214,20 @@ object Multimodal {
   // ---- deterministic container synthesis (for tests/oracles) ----------
 
   /** Deterministic per-id container dimensions (mirrored in SQL by the
-    * t_media_headers oracle).
+    * t_media_headers oracle). Frames: wav samples = 100 + id % 1000;
+    * gif image descriptors = 1 + id % 5.
     */
   def synthDims(id: Long): (Int, Int, Int) =
     ((16 + (id * 7) % 509).toInt, (16 + (id * 13) % 509).toInt,
       (100 + id % 1000).toInt)
 
+  def synthGifFrames(id: Long): Int = (1 + id % 5).toInt
+
   /** A real, minimal container file for id: id%5 picks png/gif/bmp/
-    * jpeg/wav; dims/frames from synthDims. Byte-exact sizes: png 45,
-    * gif 14, bmp 54, jpeg 35, wav 44 + 2*frames.
+    * jpeg/wav; dims/frames from synthDims/synthGifFrames. Byte-exact
+    * sizes: png 45, gif 14 + 22*frames (animated: GCE + image
+    * descriptor + 1-byte data sub-block per frame), bmp 54, jpeg 35,
+    * wav 44 + 2*frames.
     */
   def synthContainer(id: Long): Array[Byte] = {
     val (w, h, frames) = synthDims(id)
@@ -208,8 +245,16 @@ object Multimodal {
         b(8, 2, 0, 0, 0) // depth 8, truecolor, deflate, none, no interlace
         be32(0) // crc (not verified by header parsers)
         be32(0); s("IEND"); be32(0)
-      case 1 => // GIF89a: logical screen descriptor + trailer
-        s("GIF89a"); le16(w); le16(h); b(0, 0, 0, 0x3B)
+      case 1 => // GIF89a: animated — GCE + image descriptor per frame
+        s("GIF89a"); le16(w); le16(h); b(0, 0, 0)
+        for (_ <- 0 until synthGifFrames(id)) {
+          b(0x21, 0xF9, 0x04, 0, 0, 0, 0, 0x00) // graphic control ext
+          b(0x2C); le16(0); le16(0); le16(w); le16(h); b(0) // descriptor
+          b(0x02) // LZW minimum code size
+          b(0x01, 0x00) // one 1-byte data sub-block
+          b(0x00) // block terminator
+        }
+        b(0x3B)
       case 2 => // BMP: file header + BITMAPINFOHEADER, no pixel data
         s("BM"); le32(54); le32(0); le32(54)
         le32(40); le32(w); le32(h); le16(1); le16(24)

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.schema.Turn
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Transcript table readers for the input contract
+  * (conv_id, turn_idx, role, text, tool, ts) over formats beyond
+  * parquet/Iceberg. The reference's closest analogue is its corpus
+  * file reader (vkit/engine/char_sampler/corpus.py:71-103 — seek-and-
+  * scan over raw text); at Spark scale the equivalents are splittable
+  * line-delimited formats with an EXPLICIT schema.
+  *
+  * Scale notes (the reasons this module exists instead of bare
+  * `spark.read`):
+  *  - the schema is always supplied, never inferred — schema inference
+  *    is a full extra pass over the data (at 100 TB, a second 100 TB
+  *    scan before the job starts);
+  *  - JSONL is the preferred text interchange: newlines inside `text`
+  *    are escaped by JSON, so files stay line-splittable and every
+  *    input split parallelizes;
+  *  - CSV requires multiLine=true because tool payloads contain real
+  *    newlines; multiLine disables intra-file splitting (one task per
+  *    file), so CSV ingestion must arrive as MANY files to
+  *    parallelize — prefer JSONL for bulk loads;
+  *  - corrupt records fail fast (FAILFAST) rather than silently
+  *    nulling columns mid-corpus: a malformed transcript file should
+  *    stop the load, not poison the extraction downstream.
+  */
+object TranscriptSource {
+
+  /** The input contract's schema, from the Turn encoder (one source of
+    * truth with the typed pipeline).
+    */
+  val schema: StructType = Encoders.product[Turn].schema
+
+  def parquet(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.schema(schema).parquet(path).as[Turn]
+  }
+
+  /** Line-delimited JSON (one turn object per line). */
+  def jsonl(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path).as[Turn]
+  }
+
+  /** CSV with header; multiLine for embedded newlines (see scale
+    * notes). Options mirror `writeCsv` so the pair round-trips.
+    */
+  def csv(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      // distinguish empty string (written quoted) from null: the input
+      // contract's `tool` column is "" for non-tool turns, not null.
+      // Spark's default nullValue is ALSO "" and is applied after
+      // unescaping, so it must be moved to a sentinel that cannot
+      // appear in the data or quoted-empty fields still read as null.
+      .option("emptyValue", "")
+      .option("nullValue", "\u0000")
+      .option("mode", "FAILFAST")
+      .csv(path).as[Turn]
+  }
+
+  /** CSV writer paired with `csv` (same quoting/escape options). */
+  def writeCsv(turns: Dataset[Turn], path: String): Unit =
+    turns.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("emptyValue", "\"\"")
+      .csv(path)
+}

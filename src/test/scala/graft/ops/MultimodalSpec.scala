@@ -37,10 +37,13 @@ class MultimodalSpec extends AnyFunSuite {
       if (fmt == "wav") {
         assert((pw, ph, pf) == (0, 0, frames), s"id=$id")
         assert(bytes.length == 44 + 2 * frames)
+      } else if (fmt == "gif") {
+        val gf = Multimodal.synthGifFrames(id)
+        assert((pw, ph, pf) == (w, h, gf), s"id=$id got ($pw,$ph,$pf)")
+        assert(bytes.length == 14 + 22 * gf, s"id=$id")
       } else {
         assert((pw, ph, pf) == (w, h, 1), s"id=$id got ($pw,$ph,$pf)")
-        val expLen = Map("png" -> 45, "gif" -> 14, "bmp" -> 54,
-          "jpeg" -> 35)(fmt)
+        val expLen = Map("png" -> 45, "bmp" -> 54, "jpeg" -> 35)(fmt)
         assert(bytes.length == expLen, s"id=$id")
       }
     }

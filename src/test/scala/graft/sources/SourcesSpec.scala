@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.pipe.SparkTestSession
+import graft.schema.Turn
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  /** Hostile payloads: embedded newlines (tool frames), quotes, commas,
+    * backslashes, unicode, JSON-looking text.
+    */
+  private val turns = Seq(
+    Turn("c1", 0, "user", "plain text", "", ts(86400000L)),
+    Turn("c1", 1, "tool", "$ cat doc.txt\nline two\nexit_code: 0",
+      "bash", ts(86401000L)),
+    Turn("c2", 0, "assistant",
+      "he said \"hi, you\" then \\escaped\\ a, b, c", "", ts(86402000L)),
+    Turn("c2", 1, "user", "unicode: é 中文 русский \t tab", "",
+      ts(86403000L)),
+    Turn("c3", 0, "user", """{"looks":"like json","n":[1,2]}""", "",
+      ts(86404000L)))
+
+  private def sort(xs: Array[Turn]): Seq[Turn] =
+    xs.toSeq.sortBy(t => (t.conv_id, t.turn_idx))
+
+  test("JSONL round-trips hostile payloads byte-exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-json")
+      .toString
+    spark.createDataset(turns).write.mode("overwrite").json(s"$dir/t")
+    val back = TranscriptSource.jsonl(spark, s"$dir/t").collect()
+    assert(sort(back) == turns)
+  }
+
+  test("CSV (multiLine) round-trips hostile payloads byte-exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-csv")
+      .toString
+    TranscriptSource.writeCsv(spark.createDataset(turns), s"$dir/t")
+    val back = TranscriptSource.csv(spark, s"$dir/t").collect()
+    assert(sort(back) == turns)
+  }
+
+  test("explicit schema matches the Turn contract (no inference)") {
+    val names = TranscriptSource.schema.fields.map(f =>
+      (f.name, f.dataType.typeName)).toSeq
+    assert(names == Seq(("conv_id", "string"), ("turn_idx", "integer"),
+      ("role", "string"), ("text", "string"), ("tool", "string"),
+      ("ts", "timestamp")))
+  }
+}
