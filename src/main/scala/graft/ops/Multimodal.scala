@@ -131,6 +131,8 @@ object Multimodal {
         return Some(("jpeg", be16(b, p + 7), be16(b, p + 5), 1))
       } else if (m == 0xD9 || m == 0xDA) {
         return None // hit EOI / scan data without a SOF
+      } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        p += 2 // TEM / RSTn are standalone markers with no length field
       } else {
         p += 2 + be16(b, p + 2)
       }
@@ -148,12 +150,16 @@ object Multimodal {
     var blockAlign = 0
     var dataSize = -1L
     while (p + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
-      val size = le32(b, p + 4)
+      val size = le32(b, p + 4) // u32 as Long: never negative, and the
+      // Long addition below cannot wrap p backwards on a hostile size
+      // (a truncated-chunk p just exits the loop bound)
       if (ascii(b, p, "fmt ") && p + 22 + 2 <= b.length)
         blockAlign = le16(b, p + 20)
       else if (ascii(b, p, "data"))
         dataSize = size
-      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val next = p.toLong + 8L + size + (size & 1L) // word-aligned
+      if (next > Int.MaxValue) return None
+      p = next.toInt
     }
     if (blockAlign > 0 && dataSize >= 0)
       Some(("wav", 0, 0, (dataSize / blockAlign).toInt))

@@ -84,6 +84,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.width >= 64)) // stub-derived
   }
 
+  test("header parsers never throw or hang on hostile bytes (fuzz)") {
+    val r = new java.util.Random(99)
+    // random garbage of assorted sizes
+    for (_ <- 0 until 2000) {
+      val b = new Array[Byte](r.nextInt(200))
+      r.nextBytes(b)
+      Multimodal.parseContainerHeader(b) // must return, any value
+    }
+    // truncations and single-byte mutations of every valid container
+    for (id <- 0L until 50L) {
+      val valid = Multimodal.synthContainer(id)
+      for (cut <- 0 to math.min(valid.length, 60))
+        Multimodal.parseContainerHeader(valid.take(cut))
+      for (_ <- 0 until 40) {
+        val m = valid.clone()
+        m(r.nextInt(m.length)) = r.nextInt(256).toByte
+        Multimodal.parseContainerHeader(m)
+      }
+    }
+    // the specific hazard: a WAV chunk with a huge u32 size must not
+    // walk the cursor backwards (pre-fix: size.toInt < 0 looped forever)
+    val wav = Multimodal.synthContainer(4L) // kind 4 = wav
+    val evil = wav.clone()
+    evil(16) = 0x10; evil(17) = 0; evil(18) = 0; evil(19) = 0x80.toByte
+    Multimodal.parseContainerHeader(evil) // must return
+  }
+
   test("embedding from bytes feeds the ANN path") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark,
