@@ -83,8 +83,10 @@ object Bench {
         val t = timeIt {
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
+            // strip quotes/backslashes AND all control chars — any
+            // unescaped byte < 0x20 makes the whole JSON line unparseable
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
           }
         }
         (name, t, err)

@@ -228,21 +228,37 @@ object SparkEntry {
     // exact copies land in separate input files, so maxFilesPerTrigger=2
     // spreads original and duplicate across micro-batches — and the
     // deduped extraction must reproduce the same batch oracle
-    // (x_transcripts). Exact duplicates make the winner deterministic
-    // regardless of arrival order; a key can never be emitted twice
-    // because a row survives late-drop only while its dedupe state is
-    // alive (late-drop iff ts < watermark, expiry iff watermark >
-    // ts + delay).
+    // (x_transcripts). Correctness argument, scale-independent:
+    //  - the watermark delay is sized to the staged corpus's ACTUAL
+    //    disorder bound (its full ts span): replaying a corpus from
+    //    files has arbitrary event-time disorder across micro-batches,
+    //    so any smaller delay can late-drop a key's ONLY copy before it
+    //    is ever emitted (a real stream sets the delay to its real
+    //    max lateness; 1 hour is the production default, not a replay
+    //    config). Files are additionally staged in event-time order
+    //    (repartitionByRange on ts), the realistic arrival shape;
+    //  - a key can never be emitted twice: a duplicate survives the
+    //    late-drop (ts >= watermark) only while the original's dedupe
+    //    state is alive (expiry iff watermark > ts + delay implies
+    //    ts < watermark, i.e. late);
+    //  - exact duplicates make the winner deterministic regardless of
+    //    which copy wins.
     "x_streaming_dedupe" -> { (s, dir) =>
       import s.implicits._
       val tmp = scratchDir("dedupe")
       val base = docTurns(s, dir)
         .filter(!$"text".startsWith("stale duplicate"))
-      base.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
-      base.repartition(4).write.mode("append").parquet(s"$tmp/in")
+      base.repartitionByRange(4, $"ts")
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      base.repartitionByRange(4, $"ts")
+        .write.mode("append").parquet(s"$tmp/in")
+      val span = base.agg(
+        (max(unix_timestamp($"ts")) - min(unix_timestamp($"ts")))
+          .as("span")).collect()(0).getLong(0)
       val stream = graft.streaming.StreamingJob.readTurnStream(s,
         s"$tmp/in", maxFilesPerTrigger = 2)
-      val deduped = graft.streaming.StreamingJob.withDedupe(stream)
+      val deduped = graft.streaming.StreamingJob.withDedupe(stream,
+        watermarkDelay = s"${span + 60} seconds")
       val out = graft.streaming.StreamingJob.extractStream(deduped)
       graft.streaming.StreamingJob
         .writer(out, s"$tmp/out", s"$tmp/ckpt")
@@ -271,7 +287,12 @@ object SparkEntry {
     // multimodal plumbing end to end: binary payloads derived from the
     // documents table (ASCII bytes == chars, so the oracle recomputes
     // the deterministic stub codec in HUGEINT SQL), batched
-    // per-partition feature extraction, typed output
+    // per-partition feature extraction, typed output. Uses the
+    // stub-only pass: payloads here are arbitrary text bytes, so
+    // container DETECTION must not apply (a doc that happens to start
+    // with "GIF89a" would otherwise parse as a container and diverge
+    // from the stub-mirroring oracle); detection is covered by
+    // t_media_headers
     "t_multimodal" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id", $"text")
@@ -285,7 +306,7 @@ object SparkEntry {
           graft.ops.Multimodal.MediaRow(id, kind,
             t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      graft.ops.Multimodal.stubFeatures(s, media).toDF()
         .select($"media_id", $"kind", $"n_bytes", $"width", $"height",
           $"n_frames", $"content_hash")
     },
@@ -698,14 +719,26 @@ object SparkEntry {
     (base.union(twins), queries)
   }
 
-  /** Fixed scratch dir for a streaming query, wiped at query start so
-    * repeated verify runs never accumulate staged corpora under /tmp
-    * (the `out` subdir must outlive the query builder — the returned
-    * DataFrame reads it lazily — so cleanup is wipe-on-next-run plus
-    * `dropStreamStaging` for the input/checkpoint halves).
+  /** Per-JVM scratch root: unique temp dir (concurrent driver runs
+    * cannot clobber each other's staged corpora) removed by a shutdown
+    * hook (repeated verify runs never accumulate under /tmp — a plain
+    * deleteOnExit cannot remove non-empty dirs).
+    */
+  private lazy val scratchRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteTree(dir.toFile)))
+    dir.toString
+  }
+
+  /** Scratch dir for one staged query, wiped at query start so re-runs
+    * within a session start clean (the subdirs must outlive the query
+    * builder — the returned DataFrame reads lazily — so full cleanup is
+    * the JVM-exit hook plus `dropStreamStaging` for the input/checkpoint
+    * halves).
     */
   private def scratchDir(name: String): String = {
-    val dir = new java.io.File(s"/tmp/graft-scratch/$name")
+    val dir = new java.io.File(s"$scratchRoot/$name")
     deleteTree(dir)
     dir.mkdirs()
     dir.toString

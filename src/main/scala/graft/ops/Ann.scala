@@ -165,6 +165,10 @@ object Ann {
       seed: Long = 42L, sampleCap: Int = 65536): Array[Array[Double]] = {
     import spark.implicits._
     require(sampleCap >= nClusters, "sampleCap must cover nClusters")
+    // fixed-point headroom (see FixedPoint): a cluster can hold at most
+    // sampleCap members, and sampleCap * 2^40 must stay under 2^63
+    require(sampleCap <= (1 << 22),
+      s"sampleCap $sampleCap exceeds the fixed-point overflow bound 2^22")
     val ds = corpus.as[(Long, Seq[Float])]
     // (h, id) sort: id tiebreak keeps sample membership deterministic
     // even under a (vanishingly unlikely) mix64 collision

@@ -83,11 +83,14 @@ object EmbeddingDedup {
     */
   def nearDuplicates(spark: SparkSession, corpus: DataFrame, dim: Int,
       threshold: Double = 0.95, nTables: Int = 4, nPlanes: Int = 16,
-      bucketCap: Int = 256, seed: Long = 42L, nProbe: Int = 16,
+      bucketCap: Int = 256, seed: Long = 42L, nProbe: Int = -1,
       ledger: Observation = null): DataFrame = {
     import spark.implicits._
-    require(nProbe >= 0 && nProbe <= nPlanes, "nProbe in [0, nPlanes]")
-    val rows = probeRows(spark, corpus, dim, nTables, nPlanes, nProbe,
+    // nProbe = -1 (default) means "all planes" — tracks nPlanes so a
+    // caller raising nPlanes keeps the full Hamming<=1 guarantee
+    val probes = if (nProbe < 0) nPlanes else nProbe
+    require(probes <= nPlanes, "nProbe in [0, nPlanes] or -1 for all")
+    val rows = probeRows(spark, corpus, dim, nTables, nPlanes, probes,
       seed)
 
     // count pass first: degenerate buckets pruned before materializing;
@@ -131,9 +134,10 @@ object EmbeddingDedup {
     */
   def oversizedBuckets(spark: SparkSession, corpus: DataFrame, dim: Int,
       nTables: Int = 4, nPlanes: Int = 16, bucketCap: Int = 256,
-      seed: Long = 42L, nProbe: Int = 16): DataFrame = {
+      seed: Long = 42L, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
-    probeRows(spark, corpus, dim, nTables, nPlanes, nProbe, seed)
+    probeRows(spark, corpus, dim, nTables, nPlanes,
+      if (nProbe < 0) nPlanes else nProbe, seed)
       .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("n"))
       .filter($"n" > bucketCap)
   }

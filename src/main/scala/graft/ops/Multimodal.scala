@@ -282,6 +282,26 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Stub-only feature pass: bypasses container detection and always
+    * applies `decodeStub`. This is the entry point for fixtures whose
+    * payloads are arbitrary bytes (e.g. document text) — with detection
+    * enabled, a payload that HAPPENS to start with container magic
+    * (say, a transcript discussing "GIF89a...") would parse as a real
+    * container and diverge from a stub-mirroring oracle. Production
+    * code uses `extractFeatures`.
+    */
+  def stubFeatures(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, frames, hash, emb) = decodeStub(m.kind, m.payload)
+        MediaFeatures(m.media_id, m.kind, "unknown",
+          m.payload.length.toLong, w, h, frames, hash, emb)
+      }
+    }
+  }
+
   /** Deterministic synthetic media table (no external data). */
   def synthMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._

@@ -97,15 +97,18 @@ object Checkpoint {
       outputDir: String, stateDir: String, runId: String): Int = {
     import spark.implicits._
     val manifest = readManifest(spark, stateDir)
-    // crash-replay reuses an UNcommitted runId; reusing a COMMITTED one
-    // after new input lands would silently overwrite that run's
-    // published rows while the manifest still marks its files processed
+    val todo = listInputFiles(spark, inputDir)
+      .filterNot(manifest.files)
+    // nothing new: a replay of an already-committed increment is a
+    // no-op, NOT an error (the documented "safe to replay after a crash
+    // at any point" contract includes a crash after commit succeeded)
+    if (todo.isEmpty) return 0
+    // new input + a COMMITTED runId: refuse — the run-scoped overwrite
+    // would silently destroy that run's published rows while the
+    // manifest still marks its files processed
     require(!manifest.runs.contains(runId),
       s"runId '$runId' is already committed under $stateDir — " +
         "pick a fresh runId for new increments")
-    val todo = listInputFiles(spark, inputDir)
-      .filterNot(manifest.files)
-    if (todo.isEmpty) return 0
     val turns = spark.read.parquet(todo: _*).as[Turn]
     val (out, acc) = Job.run(spark, turns, runId)
     out.write.mode(SaveMode.Overwrite)

@@ -45,28 +45,42 @@ object Job {
 
   /** Exact-dup rank over md5(`key`) computed on a SLIM projection: only
     * (hash, order cols) enter the window exchange — the payload column
-    * (typically extracted text) never shuffles or sorts through the rank
-    * exchange. Ranks are re-attached by joining the ranked slim rows back
-    * on (hash, order cols); the order columns must uniquely identify a
-    * row within its hash group (e.g. the (conv_id, turn_idx) primary
-    * key), which is also what makes the row_number deterministic.
+    * (typically extracted text) never enters the window operator's sort
+    * or its rank buffering. Ranks are re-attached by a NULL-SAFE join of
+    * the ranked slim rows back on (hash, order cols): NULL keys hash to
+    * a sentinel group (matching the old in-place window, which ranked
+    * all-NULL keys together) and NULL order values still join. The order
+    * columns MUST uniquely identify a row within its hash group (e.g.
+    * the (conv_id, turn_idx) primary key) — that is also what makes the
+    * row_number deterministic; duplicate (key, order) tuples would
+    * multiply through the join.
     *
-    * At 100 TB this is the difference between shuffling the whole corpus
-    * through a full-row sort to rank duplicates, and shuffling ~40-byte
-    * key rows (the reference's slim inverse-index order restoration,
-    * page_text_region.py:794-800, is the same trick). A downstream
-    * `filter(rank = 1)` additionally collapses the slim window into a
-    * WindowGroupLimit (top-1 per group) via Catalyst's
-    * InferWindowGroupLimit.
+    * Scale shape (honest accounting): the payload side still shuffles
+    * ONCE through the join exchange — same as the old form's single
+    * window exchange — but the window's rank sort and buffering now run
+    * over ~40-byte key rows instead of full documents (the reference's
+    * slim inverse-index order restoration, page_text_region.py:794-800,
+    * is the same trick), and a downstream `filter(rank = 1)` collapses
+    * the slim window into a WindowGroupLimit (top-1 per group), so the
+    * join's build side is winners-only and AQE can pick a
+    * shuffled-hash/broadcast join instead of a full SortMergeJoin.
     */
   def rankDuplicates(df: org.apache.spark.sql.DataFrame, key: String,
       order: Seq[String], out: String): org.apache.spark.sql.DataFrame = {
     val h = "__dedup_h"
-    val withH = df.withColumn(h, md5(col(key)))
+    val withH = df.withColumn(h,
+      coalesce(md5(col(key)), lit("__null_key__")))
     val slim = withH.select(col(h) +: order.map(col): _*)
     val ranked = slim.withColumn(out, row_number().over(
       Window.partitionBy(col(h)).orderBy(order.map(col): _*)))
-    withH.join(ranked, h +: order).drop(h)
+    val joinCols = h +: order
+    val rankedR = ranked.toDF(joinCols.map(_ + "__r") :+ out: _*)
+    val cond = joinCols
+      .map(c => withH(c) <=> rankedR(c + "__r"))
+      .reduce(_ && _)
+    withH.join(rankedR, cond)
+      .drop(h)
+      .drop(joinCols.map(_ + "__r"): _*)
   }
 
   /** Standalone dedupe (window form) — kept as the reference semantics

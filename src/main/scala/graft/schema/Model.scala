@@ -73,10 +73,26 @@ case class LineageRow(
     extractor_version: String)
 
 object Versions {
-  /** Frozen spec version; bump when NORM/ENT/BOIL/XYCUT/TOOL rules
-    * change. v2: ENT-1 (34 names, ';' required) -> ENT-2 (full WHATWG
-    * table, legacy semicolon-less forms, numeric refs with optional ';'
-    * and the windows-1252 C1 override).
+  /** Frozen EXTRACTION spec version (stamped into every lineage row);
+    * bump when NORM/ENT/BOIL/XYCUT/TOOL/RENDER/COLLATE rules change.
+    * v2: ENT-1 (34 names, ';' required) -> ENT-2 (full WHATWG table,
+    * legacy semicolon-less forms, numeric refs with optional ';' and
+    * the windows-1252 C1 override).
     */
   val ExtractorVersion = "v2"
+
+  /** Frozen language-ID spec version. The exact dictionary contents are
+    * additionally pinned by `Lexicon.collection.contentHash` (sha256),
+    * which t_lang_id emits as a column and the oracle hardcodes — a
+    * stopword edit without a re-pin breaks the gate even if this string
+    * is forgotten. v3: 4 -> 7 stopword languages at 50 words each;
+    * script regexes derived from the charRanges interval table.
+    */
+  val LangIdVersion = "v3"
+
+  /** Frozen multimodal header-decode spec version. v1: real PNG/GIF/
+    * BMP/JPEG/WAV container-header parsing (incl. animated-GIF frame
+    * walk) with deterministic stub fallback for unknown magic.
+    */
+  val MediaVersion = "v1"
 }

@@ -251,9 +251,13 @@ class CheckpointSpec extends AnyFunSuite {
     assert(Checkpoint.committedRuns(spark, stateDir)
       == Set("run1", "run3"))
 
-    // reusing a COMMITTED runId after new input lands must be refused —
-    // the overwrite would destroy run1's published rows while the
-    // manifest still marks its files processed
+    // replaying a committed runId with NO new input is a no-op (crash
+    // after a successful commit must stay replay-safe) ...
+    assert(Checkpoint.runIncremental(spark, inDir, outDir, stateDir,
+      "run1") == 0)
+    // ... but reusing a COMMITTED runId after new input lands must be
+    // refused — the overwrite would destroy run1's published rows while
+    // the manifest still marks its files processed
     writeBatch("d", 8 until 9)
     promote("d")
     intercept[IllegalArgumentException] {

@@ -91,7 +91,11 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     val df = spark.createDataset(Seq(
       ("c1", 1, "payload text one"), ("c1", 2, "payload text one"),
-      ("c2", 1, "payload text two")))
+      ("c2", 1, "payload text two"),
+      // NULL keys must be RETAINED and ranked together (sentinel hash
+      // group), matching the old in-place window's null semantics
+      ("c3", 1, null.asInstanceOf[String]),
+      ("c4", 1, null.asInstanceOf[String])))
       .toDF("conv_id", "turn_idx", "extracted_text")
     val ranked = Job.rankDuplicates(df, "extracted_text",
       Seq("conv_id", "turn_idx"), "dup_rank")
@@ -99,7 +103,8 @@ class PlanSpec extends AnyFunSuite {
     val got = ranked.orderBy("conv_id", "turn_idx")
       .select("conv_id", "turn_idx", "dup_rank")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
-    assert(got.toSeq == Seq(("c1", 1, 1), ("c1", 2, 2), ("c2", 1, 1)))
+    assert(got.toSeq == Seq(("c1", 1, 1), ("c1", 2, 2), ("c2", 1, 1),
+      ("c3", 1, 1), ("c4", 1, 2)))
     // plan shape: every Window (and WindowGroupLimit) operates on a
     // schema WITHOUT the payload column
     import org.apache.spark.sql.execution.SparkPlan
