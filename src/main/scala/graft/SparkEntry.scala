@@ -329,6 +329,21 @@ object SparkEntry {
           $"n_frames")
     },
 
+    // frame sampling + resize planning over the same real containers:
+    // every 2nd frame index capped at 8 refs/media (bounded expansion),
+    // resize dims by exact integer scaling into a 64-box; the oracle
+    // recomputes indices and dims from the synthesis formulas
+    "t_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContainer(id))
+        }
+      graft.ops.Multimodal.frameSample(s, media).toDF()
+        .select($"media_id", $"frame_idx", $"rw", $"rh")
+    },
+
     // composed training-data pipeline: extract -> quality-score the
     // extracted text -> exact-dedup (md5 window) -> per-extractor
     // rollup — oracle-checked end to end (quality mirrored via the
@@ -885,6 +900,27 @@ object SparkEntry {
         "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 " +
         "WHEN doc_id % 5 = 1 THEN 1 + doc_id % 5 ELSE 1 " +
         "END)::INT AS n_frames FROM documents"),
+
+    // mirrors frameSample(every=2, maxFrames=8, target=64) over the
+    // synthesis formulas: per media, indices 0,2,... below the frame
+    // count (first 8), dims scaled into a 64-box by integer division
+    "t_frame_sample" ->
+      ("WITH m AS (SELECT doc_id AS media_id, " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 7) % 509 " +
+        "END) AS w, " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 13) % 509 " +
+        "END) AS h, " +
+        "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 " +
+        "WHEN doc_id % 5 = 1 THEN 1 + doc_id % 5 ELSE 1 END) AS nf " +
+        "FROM documents), " +
+        "r AS (SELECT media_id, " +
+        "CASE WHEN greatest(w, h) <= 0 THEN 0 " +
+        "ELSE (w * 64) // greatest(w, h) END AS rw, " +
+        "CASE WHEN greatest(w, h) <= 0 THEN 0 " +
+        "ELSE (h * 64) // greatest(w, h) END AS rh, " +
+        "(generate_series(0, (nf - 1)::BIGINT, 2))[1:8] AS idxs FROM m) " +
+        "SELECT media_id, unnest(idxs)::INT AS frame_idx, " +
+        "rw::INT AS rw, rh::INT AS rh FROM r"),
 
     "x_pipeline_e2e" -> pipelineE2eSql,
 

@@ -282,6 +282,42 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A sampled frame reference with stub-resized dimensions. */
+  case class FrameRef(media_id: Long, frame_idx: Int, rw: Int, rh: Int)
+
+  /** Frame sampling + resize planning over binary media: every `every`-th
+    * frame index up to `maxFrames` refs per media row (BOUNDED output —
+    * a 10-hour video cannot explode into millions of rows), with
+    * target-box resize dims computed by integer scaling (exact on any
+    * engine: no floating-point rounding). Frame counts/dims come from
+    * the REAL container headers (MEDIA-1); unknown magic falls back to
+    * the stub. The pixel work itself (decode + actual resample) is the
+    * documented codec stub — this op plans the distributed work
+    * (schema, expansion bounds, partition shape), which is the
+    * Spark-side contract.
+    */
+  def frameSample(spark: SparkSession, media: Dataset[MediaRow],
+      every: Int = 2, maxFrames: Int = 8,
+      target: Int = 64): Dataset[FrameRef] = {
+    import spark.implicits._
+    require(every > 0 && maxFrames > 0 && target > 0)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (w, h, frames) = parseContainerHeader(m.payload) match {
+          case Some((_, pw, ph, pf)) => (pw, ph, pf)
+          case None =>
+            val (w0, h0, f0, _, _) = decodeStub(m.kind, m.payload)
+            (w0, h0, f0)
+        }
+        val mx = math.max(w, h)
+        val (rw, rh) =
+          if (mx <= 0) (0, 0) else (w * target / mx, h * target / mx)
+        (0 until frames by every).take(maxFrames)
+          .map(i => FrameRef(m.media_id, i, rw, rh))
+      }
+    }
+  }
+
   /** Stub-only feature pass: bypasses container detection and always
     * applies `decodeStub`. This is the entry point for fixtures whose
     * payloads are arbitrary bytes (e.g. document text) — with detection
