@@ -567,6 +567,28 @@ object SparkEntry {
         dim = 64)
     },
 
+    // dedup clustering: near-dup pairs -> connected components ->
+    // canonical keeper. Corpus plants a CHAIN per doc (doc ~ twin1 ~
+    // twin2 where typically j(doc,twin1) and j(twin1,twin2) >= 0.9 but
+    // j(doc,twin2) < 0.9), so components require multi-hop propagation
+    // — a pair list alone cannot produce them. Oracle: exact-jaccard
+    // edges recomputed in SQL + recursive-CTE transitive closure.
+    "t_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      val corpus = d
+        .union(d.map { case (id, t) =>
+          (id + 1000000L, t + " graft cluster tail one")
+        })
+        .union(d.map { case (id, t) =>
+          (id + 2000000L, t + " graft cluster tail one chain tail two")
+        })
+      val pairs = graft.ops.MinHashDedup.nearDuplicates(s, corpus,
+        threshold = 0.9)
+      graft.ops.Clusters.keepers(s, pairs,
+        corpus.toDF("id", "text").select($"id"))
+    },
+
     "t_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       // corpus = documents + exact copies (hamming 0). Oracle: DuckDB
@@ -1042,6 +1064,34 @@ object SparkEntry {
         "FROM inter JOIN cnt ca ON ca.id = id_a " +
         "JOIN cnt cb ON cb.id = id_b " +
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    // exact-jaccard edges over the 3-generation chain corpus, then
+    // transitive closure via recursive CTE -> min-id component keeper
+    "t_dedup_clusters" ->
+      ("WITH RECURSIVE corpus AS (SELECT doc_id AS id, text " +
+        "FROM documents UNION ALL SELECT doc_id + 1000000, " +
+        "text || ' graft cluster tail one' FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, " +
+        "text || ' graft cluster tail one chain tail two' " +
+        "FROM documents), " +
+        "toks AS (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
+        "sh AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
+        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT id AS src, id AS dst FROM corpus " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e " +
+        "ON r.dst = e.a) " +
+        "SELECT src AS id, min(dst) AS keeper_id, " +
+        "(src = min(dst)) AS is_keeper FROM reach GROUP BY 1"),
 
     // exact mirror of SimHash.simhash64: per-token FNV-1a then SplitMix64
     // finalizer, both in mod-2^64 HUGEINT arithmetic (the two big-constant

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup clustering: near-duplicate PAIRS -> connected components ->
+  * canonical keeper per component (the min id). Pair emission
+  * (MinHash/SimHash/embedding LSH) finds edges; production dedup then
+  * needs "keep one doc per duplicate CLUSTER", which is exactly a
+  * connected-components pass over the pair graph — a pair list alone
+  * over-deletes (both ends of every pair) or under-deletes (chains
+  * a~b~c where only a~b, b~c were emitted).
+  *
+  * Algorithm: iterative min-label propagation. Round r joins each
+  * vertex's current component label across its edges and takes the
+  * min; converges in O(component diameter) rounds. Near-dup clusters
+  * have tiny diameters (chains of incremental edits), so rounds stay
+  * single-digit at any corpus size; per round the shuffle carries only
+  * slim (id, comp) rows — the corpus payload is never touched.
+  * Determinism: min() is order-insensitive; the result is a pure
+  * function of the edge set. The loop's driver-side actions read only
+  * a COUNT — the label table itself stays distributed.
+  *
+  * Lineage control: each round's labels are LOCAL-CHECKPOINTED, not
+  * merely cached — the round's plan references the previous labels
+  * TWICE (join side + union side), so without truncation the logical
+  * plan doubles every round and Catalyst analysis goes exponential
+  * (measured: 1 s -> 83 s per round by iteration 9). On a real cluster
+  * swap localCheckpoint for reliable `checkpoint` (an executor loss
+  * invalidates local checkpoints mid-computation).
+  */
+object Clusters {
+
+  /** Components of the graph (vertices, pairs). Input: `vertices` with
+    * column `id`; `pairs` with columns (id_a, id_b). Output:
+    * (id, comp) where comp = min id reachable — singletons map to
+    * themselves. Throws if not converged within maxIter (dedup graphs
+    * converge in a handful of rounds; a pathological diameter means
+    * the pair generator is emitting something that is not a
+    * near-duplicate relation).
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      vertices: DataFrame, maxIter: Int = 25): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .persist()
+    // eager localCheckpoint: materializes AND truncates lineage
+    var labels = vertices.select($"id", $"id".as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // labels flow across edges; min over (own, neighbors')
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"comp")
+        .union(labels)
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter($"comp" < $"prev").count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Keeper table: one row per duplicate-cluster member with its
+    * canonical keeper (min id of the component); `is_keeper` marks the
+    * row to retain. Join a corpus on id and filter is_keeper to
+    * deduplicate it cluster-wise.
+    */
+  def keepers(spark: SparkSession, pairs: DataFrame,
+      vertices: DataFrame): DataFrame = {
+    import spark.implicits._
+    connectedComponents(spark, pairs, vertices)
+      .select($"id", $"comp".as("keeper_id"),
+        ($"id" === $"comp").as("is_keeper"))
+  }
+}

@@ -112,6 +112,41 @@ class MinHashDedupSpec extends AnyFunSuite {
   }
 }
 
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("components: chain, triangle, singleton; keeper = min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multi-round propagation),
+    // triangle 10-11-12, pair 20-21, singleton 30
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L)
+      .toDF("id")
+    val got = Clusters.keepers(spark, pairs, verts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exp = Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (30L, 30L, true))
+    assert(got == exp)
+  }
+
+  test("components are deterministic across partitionings") {
+    import spark.implicits._
+    val r = new java.util.Random(17)
+    val pairs = (0 until 200).map(_ =>
+      (r.nextInt(100).toLong, 100L + r.nextInt(100)))
+      .toDF("id_a", "id_b")
+    val verts = spark.range(200).toDF("id")
+    def run(parts: Int) = Clusters.connectedComponents(spark,
+      pairs.repartition(parts), verts.repartition(parts))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    assert(run(2) == run(7))
+  }
+}
+
 class SimHashSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
