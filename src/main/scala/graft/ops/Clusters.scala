@@ -51,15 +51,24 @@ object Clusters {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // labels flow across edges; min over (own, neighbors')
+      // labels flow across edges; min over (own, neighbors'). The own
+      // row is tagged so the SAME aggregation yields old + new label,
+      // and an Observation on it counts changed vertices in-band — one
+      // job per round (the eager localCheckpoint is the action), no
+      // separate compare join.
+      val obs = new org.apache.spark.sql.Observation(s"cc-round-$iter")
       val next = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select($"dst".as("id"), $"comp")
-        .union(labels)
-        .groupBy($"id").agg(min($"comp").as("comp"))
+        .select($"dst".as("id"), $"comp", lit(false).as("own"))
+        .union(labels.select($"id", $"comp", lit(true).as("own")))
+        .groupBy($"id")
+        .agg(min($"comp").as("comp"),
+          min(when($"own", $"comp")).as("prev"))
+        .observe(obs,
+          count(when($"comp" < $"prev", lit(1))).as("changed"))
+        .select($"id", $"comp")
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter($"comp" < $"prev").count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       iter += 1
     }
