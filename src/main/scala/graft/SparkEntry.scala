@@ -589,6 +589,33 @@ object SparkEntry {
         corpus.toDF("id", "text").select($"id"))
     },
 
+    // the flagship corpus-curation composition: near-dup CLUSTER
+    // keepers (minhash pairs -> connected components -> min-id keeper)
+    // -> quality gate -> language ID -> PII scrub, all in one job over
+    // a corpus with planted twins; the oracle reassembles the same
+    // flow from the independently tested SQL fragments (exact jaccard
+    // edges + recursive closure + QUAL-1 + LANGID-3 + REDACT-1)
+    "t_corpus_cleanse" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      val corpus = d.union(d.map { case (id, t) =>
+        (id + 1000000L, t + " graft cluster tail one")
+      })
+      val pairs = graft.ops.MinHashDedup.nearDuplicates(s, corpus,
+        threshold = 0.9)
+      val keep = graft.ops.Clusters.keepers(s, pairs,
+        corpus.toDF("id", "text").select($"id"))
+        .filter($"is_keeper").select($"id")
+      corpus.toDF("id", "text").join(keep, "id")
+        .withColumn("quality",
+          graft.ops.TextStats.qualityScore($"text"))
+        .filter($"quality" >= 0.5)
+        .select($"id",
+          graft.ops.Lexicon.langId($"text").as("lang_pred"),
+          round($"quality", 2).as("quality"),
+          graft.ops.TextStats.redactPII($"text").as("clean_text"))
+    },
+
     "t_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       // corpus = documents + exact copies (hamming 0). Oracle: DuckDB
@@ -829,6 +856,31 @@ object SparkEntry {
       "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
       "FROM scored) WHERE rank <= 3"
 
+  /** QUAL-1 quality formula over a text column (DuckDB fragment) —
+    * mirrors TextStats.qualityScore exactly; shared by every oracle
+    * that scores quality.
+    */
+  private def qualSql(c: String): String =
+    s"(CASE WHEN len(string_split($c, ' ')) BETWEEN 20 AND " +
+      s"1000 THEN 0.4 WHEN len(string_split($c, ' ')) >= 5 " +
+      "THEN 0.2 ELSE 0.0 END) + (CASE WHEN " +
+      s"len(list_filter(string_split($c, ' '), x -> x IN " +
+      "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
+      s"len(string_split($c, ' ')) BETWEEN 0.01 AND 0.4 " +
+      "THEN 0.3 ELSE 0.0 END) + (CASE WHEN " +
+      s"len(list_distinct(string_split($c, ' '))) * 1.0 / " +
+      s"len(string_split($c, ' ')) >= 0.3 THEN 0.3 WHEN " +
+      s"len(list_distinct(string_split($c, ' '))) * 1.0 / " +
+      s"len(string_split($c, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 " +
+      "END)"
+
+  /** REDACT-1 scrub chain over a text column (DuckDB fragment). */
+  private def redactSql(c: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(" +
+      s"$c, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', " +
+      "'<EMAIL>', 'g'), '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', " +
+      "'g'), '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')"
+
   /** Shared oracle for the composed pipeline (hard-wired and
     * config-assembled variants must both reproduce it).
     */
@@ -838,18 +890,8 @@ object SparkEntry {
       s"$docKindSql AS extractor, $docExtractedSql AS extracted " +
       "FROM documents), " +
       "q AS (SELECT conv_id, turn_idx, extractor, extracted, " +
-      "(CASE WHEN len(string_split(extracted, ' ')) BETWEEN 20 AND " +
-      "1000 THEN 0.4 WHEN len(string_split(extracted, ' ')) >= 5 " +
-      "THEN 0.2 ELSE 0.0 END) + (CASE WHEN " +
-      "len(list_filter(string_split(extracted, ' '), x -> x IN " +
-      "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
-      "len(string_split(extracted, ' ')) BETWEEN 0.01 AND 0.4 " +
-      "THEN 0.3 ELSE 0.0 END) + (CASE WHEN " +
-      "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
-      "len(string_split(extracted, ' ')) >= 0.3 THEN 0.3 WHEN " +
-      "len(list_distinct(string_split(extracted, ' '))) * 1.0 / " +
-      "len(string_split(extracted, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 " +
-      "END) AS quality FROM exp WHERE extracted <> ''), " +
+      s"${qualSql("extracted")} AS quality FROM exp " +
+      "WHERE extracted <> ''), " +
       "d AS (SELECT *, row_number() OVER (PARTITION BY md5(extracted) " +
       "ORDER BY conv_id, turn_idx) AS dup_rank FROM q) " +
       "SELECT extractor, count(*) AS kept, " +
@@ -1093,6 +1135,40 @@ object SparkEntry {
         "SELECT src AS id, min(dst) AS keeper_id, " +
         "(src = min(dst)) AS is_keeper FROM reach GROUP BY 1"),
 
+    // the curation flow reassembled from tested fragments: jaccard
+    // edges >= 0.9 on the twin corpus, recursive-closure keepers,
+    // QUAL-1 gate, LANGID-3 label, REDACT-1 scrub
+    "t_corpus_cleanse" ->
+      ("WITH RECURSIVE corpus AS (SELECT doc_id AS id, text " +
+        "FROM documents UNION ALL SELECT doc_id + 1000000, " +
+        "text || ' graft cluster tail one' FROM documents), " +
+        "tk AS (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
+        "sh AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
+        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tk)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT id AS src, id AS dst FROM corpus " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e " +
+        "ON r.dst = e.a), " +
+        "keep AS (SELECT src AS id FROM reach GROUP BY src " +
+        "HAVING src = min(dst)), " +
+        "t AS (SELECT c.id, c.text, " +
+        "list_filter(string_split(lower(c.text), ' '), x -> x <> '') " +
+        "AS toks FROM corpus c JOIN keep USING (id)), " +
+        s"r AS (SELECT id, text, toks, $langRatioDefsSql FROM t) " +
+        s"SELECT id, $langCaseSql AS lang_pred, " +
+        s"round(${qualSql("text")}, 2) AS quality, " +
+        s"${redactSql("text")} AS clean_text FROM r " +
+        s"WHERE ${qualSql("text")} >= 0.5"),
+
     // exact mirror of SimHash.simhash64: per-token FNV-1a then SplitMix64
     // finalizer, both in mod-2^64 HUGEINT arithmetic (the two big-constant
     // multiplies split into 32-bit halves to stay inside INT128), then
@@ -1150,11 +1226,7 @@ object SparkEntry {
     "t_redact" ->
       ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
         s"text || '$piiSuffix' ELSE text END AS text FROM documents) " +
-        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
-        "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', " +
-        "'<EMAIL>', 'g'), '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', " +
-        "'g'), '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') " +
-        "AS redacted FROM aug"),
+        s"SELECT doc_id, ${redactSql("text")} AS redacted FROM aug"),
 
     "t_repetition" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
@@ -1189,18 +1261,7 @@ object SparkEntry {
         "len(string_split(text, ' ')), 4) AS sw_ratio, " +
         "round(len(list_distinct(string_split(text, ' '))) * 1.0 / " +
         "len(string_split(text, ' ')), 4) AS uniq_ratio, " +
-        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND " +
-        "1000 THEN 0.4 WHEN len(string_split(text, ' ')) >= 5 THEN 0.2 " +
-        "ELSE 0.0 END) + (CASE WHEN " +
-        "len(list_filter(string_split(text, ' '), x -> x IN " +
-        "('the','a','of','and','to','in','is','it'))) * 1.0 / " +
-        "len(string_split(text, ' ')) BETWEEN 0.01 AND 0.4 THEN 0.3 " +
-        "ELSE 0.0 END) + (CASE WHEN " +
-        "len(list_distinct(string_split(text, ' '))) * 1.0 / " +
-        "len(string_split(text, ' ')) >= 0.3 THEN 0.3 WHEN " +
-        "len(list_distinct(string_split(text, ' '))) * 1.0 / " +
-        "len(string_split(text, ' ')) >= 0.1 THEN 0.1 ELSE 0.0 END), 2) " +
-        "AS quality FROM documents"),
+        s"round(${qualSql("text")}, 2) AS quality FROM documents"),
 
     "t_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
@@ -1222,20 +1283,35 @@ object SparkEntry {
     * literal — editing a stopword list without re-pinning breaks the
     * gate, which is the pin's purpose.
     */
-  private lazy val langIdOracleSql: String = {
-    val langs = graft.ops.Lexicon.langOrder
-    val ratios = langs.map { l =>
+  /** LANGID-3 per-language ratio definitions (SELECT-list fragment over
+    * columns `toks`), generated from the frozen stopword vectors.
+    */
+  private lazy val langRatioDefsSql: String =
+    graft.ops.Lexicon.langOrder.map { l =>
       val words = graft.ops.Lexicon.collection(l).words
         .map(w => s"'$w'").mkString(",")
       s"len(list_filter(toks, x -> x IN ($words))) * 1.0 / " +
         s"greatest(len(toks), 1) AS r_$l"
     }.mkString(", ")
+
+  /** LANGID-3 decision CASE (over columns `text`, `toks`, `r_*`). */
+  private lazy val langCaseSql: String = {
+    val langs = graft.ops.Lexicon.langOrder
     val caseChain = langs.indices.map { i =>
       val conds = (i + 1 until langs.length)
         .map(j => s"r_${langs(i)} >= r_${langs(j)}") :+
         s"r_${langs(i)} >= 0.03"
       s"WHEN ${conds.mkString(" AND ")} THEN '${langs(i)}'"
     }.mkString(" ")
+    "CASE WHEN len(toks) = 0 THEN 'other' " +
+      "WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja' " +
+      "WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko' " +
+      "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+      "WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
+      s"$caseChain ELSE 'other' END"
+  }
+
+  private lazy val langIdOracleSql: String = {
     val fixtures = langFixtures
       .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
     "WITH src AS (SELECT doc_id, text FROM documents UNION ALL " +
@@ -1243,14 +1319,8 @@ object SparkEntry {
       "t AS (SELECT doc_id, text, " +
       "list_filter(string_split(lower(text), ' '), x -> x <> '') " +
       "AS toks FROM src), " +
-      s"r AS (SELECT doc_id, text, toks, $ratios FROM t) " +
-      "SELECT doc_id, CASE " +
-      "WHEN len(toks) = 0 THEN 'other' " +
-      "WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja' " +
-      "WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko' " +
-      "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
-      "WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
-      s"$caseChain ELSE 'other' END AS lang_pred, " +
+      s"r AS (SELECT doc_id, text, toks, $langRatioDefsSql FROM t) " +
+      s"SELECT doc_id, $langCaseSql AS lang_pred, " +
       "'f63b9a4141b95e512ff38293c887eafaf6dbb3ebb7eddf9a274f48fc9bf1" +
       "73d7' AS lex_hash FROM r"
   }
