@@ -19,9 +19,9 @@ object Probe15 {
       SparkEntry.queries(name)(spark, sf)
         .write.mode("overwrite").format("noop").save()
     }
-    run("t_dedup_clusters") // warmup
-    val ts = (1 to 3).map(_ => run("t_dedup_clusters"))
-    println(f"P15 t_dedup_clusters " +
+    run("t_corpus_cleanse") // warmup
+    val ts = (1 to 3).map(_ => run("t_corpus_cleanse"))
+    println(f"P15 t_corpus_cleanse " +
       f"reps=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
   }
 }
