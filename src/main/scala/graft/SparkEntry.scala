@@ -246,15 +246,21 @@ object SparkEntry {
     "x_streaming_dedupe" -> { (s, dir) =>
       import s.implicits._
       val tmp = scratchDir("dedupe")
+      // cache: repartitionByRange SAMPLES its child by re-executing it
+      // (CLAUDE.md), and the doubled staging + span probe would
+      // otherwise run the docTurns framing flatMap ~5 times
       val base = docTurns(s, dir)
         .filter(!$"text".startsWith("stale duplicate"))
+        .persist()
       base.repartitionByRange(4, $"ts")
         .write.mode("overwrite").parquet(s"$tmp/in")
       base.repartitionByRange(4, $"ts")
         .write.mode("append").parquet(s"$tmp/in")
-      val span = base.agg(
+      // span from the staged files (same rows), then release the cache
+      val span = s.read.parquet(s"$tmp/in").agg(
         (max(unix_timestamp($"ts")) - min(unix_timestamp($"ts")))
           .as("span")).collect()(0).getLong(0)
+      base.unpersist()
       val stream = graft.streaming.StreamingJob.readTurnStream(s,
         s"$tmp/in", maxFilesPerTrigger = 2)
       val deduped = graft.streaming.StreamingJob.withDedupe(stream,
@@ -785,10 +791,19 @@ object SparkEntry {
 
   /** Per-JVM scratch root: unique temp dir (concurrent driver runs
     * cannot clobber each other's staged corpora) removed by a shutdown
-    * hook (repeated verify runs never accumulate under /tmp — a plain
-    * deleteOnExit cannot remove non-empty dirs).
+    * hook (a plain deleteOnExit cannot remove non-empty dirs). The hook
+    * does not run on kill -9 / hard crash, so init also sweeps STALE
+    * sibling roots (same prefix, older than 1 h — far beyond any
+    * query's runtime) to bound the leak from crashed runs.
     */
   private lazy val scratchRoot: String = {
+    val tmpRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(tmpRoot.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft-scratch") &&
+        f.lastModified() < cutoff) deleteTree(f)
+    })
     val dir = java.nio.file.Files.createTempDirectory("graft-scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteTree(dir.toFile)))

@@ -45,8 +45,20 @@ object Clusters {
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .persist()
-    // eager localCheckpoint: materializes AND truncates lineage
-    var labels = vertices.select($"id", $"id".as("comp"))
+    // the vertex set is CLOSED over the pair ids: an id that appears
+    // only in `pairs` still gets a round-0 label — without this, its
+    // neighbors' prev would stay NULL, the changed count would miss
+    // it, and the loop could "converge" with vertices missing
+    val allVerts = vertices.select($"id")
+      .union(pairs.select($"id_a".as("id")))
+      .union(pairs.select($"id_b".as("id")))
+      .distinct()
+    // eager localCheckpoint: materializes AND truncates lineage.
+    // (Previous rounds' checkpointed RDDs are not in the CacheManager,
+    // so Dataset.unpersist cannot free them explicitly; the
+    // ContextCleaner releases each one once the reassignment drops its
+    // last reference.)
+    var labels = allVerts.select($"id", $"id".as("comp"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L

@@ -87,9 +87,12 @@ object EmbeddingDedup {
       ledger: Observation = null): DataFrame = {
     import spark.implicits._
     // nProbe = -1 (default) means "all planes" — tracks nPlanes so a
-    // caller raising nPlanes keeps the full Hamming<=1 guarantee
-    val probes = if (nProbe < 0) nPlanes else nProbe
-    require(probes <= nPlanes, "nProbe in [0, nPlanes] or -1 for all")
+    // caller raising nPlanes keeps the full Hamming<=1 guarantee;
+    // other negatives are rejected (a typo must not silently buy
+    // maximum-cost full probing)
+    require(nProbe == -1 || (nProbe >= 0 && nProbe <= nPlanes),
+      "nProbe in [0, nPlanes], or -1 for all planes")
+    val probes = if (nProbe == -1) nPlanes else nProbe
     val rows = probeRows(spark, corpus, dim, nTables, nPlanes, probes,
       seed)
 
@@ -136,8 +139,10 @@ object EmbeddingDedup {
       nTables: Int = 4, nPlanes: Int = 16, bucketCap: Int = 256,
       seed: Long = 42L, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
+    require(nProbe == -1 || (nProbe >= 0 && nProbe <= nPlanes),
+      "nProbe in [0, nPlanes], or -1 for all planes")
     probeRows(spark, corpus, dim, nTables, nPlanes,
-      if (nProbe < 0) nPlanes else nProbe, seed)
+      if (nProbe == -1) nPlanes else nProbe, seed)
       .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("n"))
       .filter($"n" > bucketCap)
   }

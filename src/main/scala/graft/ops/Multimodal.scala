@@ -309,9 +309,15 @@ object Multimodal {
             val (w0, h0, f0, _, _) = decodeStub(m.kind, m.payload)
             (w0, h0, f0)
         }
-        val mx = math.max(w, h)
+        // Long arithmetic + clamp: header-parsed dims are attacker-
+        // controlled (w * target can wrap Int; u32 widths parse
+        // negative) — hardened like the parsers themselves
+        val wl = math.max(0L, w.toLong)
+        val hl = math.max(0L, h.toLong)
+        val mx = math.max(wl, hl)
         val (rw, rh) =
-          if (mx <= 0) (0, 0) else (w * target / mx, h * target / mx)
+          if (mx <= 0L) (0, 0)
+          else ((wl * target / mx).toInt, (hl * target / mx).toInt)
         (0 until frames by every).take(maxFrames)
           .map(i => FrameRef(m.media_id, i, rw, rh))
       }
