@@ -133,6 +133,17 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("vertex set is closed over pair ids (ids absent from vertices " +
+    "still get complete components)") {
+    import spark.implicits._
+    // vertex list only knows id 1; the chain 1-2-3 must still resolve
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val verts = Seq(1L, 9L).toDF("id") // 9 = unrelated singleton
+    val got = Clusters.connectedComponents(spark, pairs, verts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)))
+  }
+
   test("components are deterministic across partitionings") {
     import spark.implicits._
     val r = new java.util.Random(17)
