@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -101,6 +101,47 @@ case class ExtractMainContent(text: Expression, role: Expression,
     copy(text = newFirst, role = newSecond, tool = newThird)
 }
 
+/** MEDIA-1 header decode as a native expression: parses real container
+  * headers (png/gif/bmp/jpeg/wav) from a binary column, stub fallback
+  * for unknown magic (see ops.Multimodal). `doGenCode` emits a static
+  * call so WholeStageCodegen is preserved.
+  */
+object MediaMetaOps {
+
+  val sparkDataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  def eval(payload: Array[Byte]): InternalRow = {
+    val (fmt, w, h, f) =
+      graft.ops.Multimodal.parseContainerHeader(payload).getOrElse {
+        val (w0, h0, f0, _, _) =
+          graft.ops.Multimodal.decodeStub("binary", payload)
+        ("unknown", w0, h0, f0)
+      }
+    InternalRow(UTF8String.fromString(fmt), w, h, f)
+  }
+}
+
+case class MediaMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaMetaOps.sparkDataType
+  override def prettyName: String = "graft_media_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaMetaOps.eval(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaMetaOps.eval($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object GraftFunctions {
 
   /** Column-API surface (requires register(spark) once per session). */
@@ -175,7 +216,14 @@ object GraftOpFunctions {
     reg("graft_lang_id", 1,
       cs => graft.ops.Lexicon.langId(cs.head)),
     reg("graft_cosine", 2,
-      cs => graft.ops.Ann.cosine(cs(0), cs(1))))
+      cs => graft.ops.Ann.cosine(cs(0), cs(1))),
+    (FunctionIdentifier("graft_media_meta"),
+      new ExpressionInfo(classOf[MediaMeta].getName, "graft_media_meta"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_media_meta takes 1 argument, got ${exprs.length}")
+        MediaMeta(exprs.head)
+      }))
 
   /** Imperative registration (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -111,6 +111,33 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.parseContainerHeader(evil) // must return
   }
 
+  test("graft_media_meta SQL function decodes headers via codegen") {
+    import spark.implicits._
+    graft.functions.GraftOpFunctions.register(spark)
+    spark.range(30).map(id =>
+      (id, Multimodal.synthContainer(id)))
+      .toDF("id", "payload")
+      .createOrReplaceTempView("media_sql_test")
+    val rows = spark.sql(
+      "SELECT id, graft_media_meta(payload) AS m FROM media_sql_test")
+      .selectExpr("id", "m.format", "m.width", "m.height", "m.n_frames")
+      .collect()
+    assert(rows.length == 30)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val (w, h, frames) = Multimodal.synthDims(id)
+      val expFmt = Seq("png", "gif", "bmp", "jpeg", "wav")((id % 5).toInt)
+      assert(r.getString(1) == expFmt, s"id=$id")
+      if (expFmt == "wav")
+        assert((r.getInt(2), r.getInt(3), r.getInt(4)) == (0, 0, frames))
+      else if (expFmt == "gif")
+        assert((r.getInt(2), r.getInt(3), r.getInt(4)) ==
+          (w, h, Multimodal.synthGifFrames(id)))
+      else
+        assert((r.getInt(2), r.getInt(3), r.getInt(4)) == (w, h, 1))
+    }
+  }
+
   test("embedding from bytes feeds the ANN path") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark,
