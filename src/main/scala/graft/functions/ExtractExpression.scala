@@ -127,6 +127,21 @@ object MediaMetaOps {
 
 case class MediaMeta(child: Expression) extends UnaryExpression {
 
+  // reject graft_media_meta(non_binary) at analysis time (a clean
+  // AnalysisException) instead of a ClassCastException inside codegen.
+  // (ExpectsInputTypes would be the idiomatic spelling, but its
+  // Seq[AbstractDataType] signature is private[sql]; the check hook
+  // itself is public.)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"graft_media_meta requires a BINARY " +
+          s"argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = MediaMetaOps.sparkDataType
   override def prettyName: String = "graft_media_meta"
 

@@ -74,7 +74,12 @@ object ConfigPipeline {
       },
       // exact-dup rank over md5(key), deterministic winner by `order` —
       // ranked on a slim (hash, order) projection so the payload column
-      // never enters the window exchange (Job.rankDuplicates)
+      // never enters the window exchange (Job.rankDuplicates).
+      // CONFIG CONTRACT: `order` must uniquely identify a row within
+      // each key group (use the pipeline primary key, e.g.
+      // ["conv_id", "turn_idx"]); a config whose order columns admit
+      // duplicate tuples fails at runtime with a clear
+      // rankDuplicates error rather than silently multiplying rows
       "dedupe_exact" -> { (_, cfg) =>
         val key = str(cfg, "key", "extracted_text")
         val out = str(cfg, "out", "dup_rank")

@@ -52,8 +52,11 @@ object Job {
     * all-NULL keys together) and NULL order values still join. The order
     * columns MUST uniquely identify a row within its hash group (e.g.
     * the (conv_id, turn_idx) primary key) — that is also what makes the
-    * row_number deterministic; duplicate (key, order) tuples would
-    * multiply through the join.
+    * row_number deterministic. Duplicate (key, order) tuples would
+    * multiply through the join, so an in-plan guard (rank() vs
+    * row_number() disagreement) fails the job with a clear message
+    * instead; see the inline comment for the one WindowGroupLimit
+    * corner where ties degrade gracefully rather than erroring.
     *
     * Scale shape (honest accounting): the payload side still shuffles
     * ONCE through the join exchange — same as the old form's single
@@ -68,11 +71,33 @@ object Job {
   def rankDuplicates(df: org.apache.spark.sql.DataFrame, key: String,
       order: Seq[String], out: String): org.apache.spark.sql.DataFrame = {
     val h = "__dedup_h"
+    val chk = "__dedup_chk"
     val withH = df.withColumn(h,
       coalesce(md5(col(key)), lit("__null_key__")))
     val slim = withH.select(col(h) +: order.map(col): _*)
-    val ranked = slim.withColumn(out, row_number().over(
-      Window.partitionBy(col(h)).orderBy(order.map(col): _*)))
+    val w = Window.partitionBy(col(h)).orderBy(order.map(col): _*)
+    // DUPLICATE-ORDER GUARD: rank() stalls on ties while row_number()
+    // advances, so the two disagree on some row exactly when a
+    // duplicate (hash, order) tuple exists — the case where the
+    // re-attach join below would silently MULTIPLY rows. The guard
+    // raises with a clear message instead of corrupting the output.
+    // Both functions are rank-like with the same frame, so a downstream
+    // filter(out = 1) still collapses this window into a
+    // WindowGroupLimit; under that top-1 pruning a rank-1 tie escapes
+    // the guard but is also harmless — at most one slim row per hash
+    // group survives, so the join cannot multiply, and the tied rows
+    // all receive rank 1 (ties degrade to keeping both, never to row
+    // inflation).
+    val ranked = slim
+      .withColumn(out, row_number().over(w))
+      .withColumn(chk, rank().over(w))
+      .filter(when(col(chk) === col(out), lit(true)).otherwise(
+        raise_error(concat(
+          lit("rankDuplicates: duplicate (key, order) tuple — the " +
+            s"order columns (${order.mkString(", ")}) must uniquely " +
+            "identify a row within its key group; offending key hash="),
+          col(h))).cast("boolean")))
+      .drop(chk)
     val joinCols = h +: order
     val rankedR = ranked.toDF(joinCols.map(_ + "__r") :+ out: _*)
     val cond = joinCols

@@ -67,11 +67,17 @@ object TranscriptSource {
       .csv(path).as[Turn]
   }
 
-  /** CSV writer paired with `csv` (same quoting/escape options). */
+  /** CSV writer paired with `csv` (same quoting/escape options). The
+    * writer's nullValue is the same U+0000 sentinel the reader maps back
+    * to null — without it a null string field would be written as the
+    * unquoted empty the reader no longer treats as null, silently
+    * coercing null to "" across a round-trip.
+    */
   def writeCsv(turns: Dataset[Turn], path: String): Unit =
     turns.write.mode("overwrite")
       .option("header", "true")
       .option("escape", "\"")
       .option("emptyValue", "\"\"")
+      .option("nullValue", "\u0000")
       .csv(path)
 }

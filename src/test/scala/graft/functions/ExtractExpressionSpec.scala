@@ -103,4 +103,15 @@ class ExtractExpressionSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
   }
+
+  test("graft_media_meta(non_binary) is rejected at analysis time") {
+    val s = spark
+    GraftOpFunctions.register(s)
+    // a STRING argument must fail analysis with a clean type error,
+    // not a ClassCastException inside generated code at execution
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_media_meta('not bytes')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"), e.getMessage)
+  }
 }

@@ -132,6 +132,30 @@ class PlanSpec extends AnyFunSuite {
       winners.queryExecution.executedPlan.toString)
   }
 
+  test("rankDuplicates fails loudly when order columns do not uniquely " +
+    "identify a row (silent row multiplication guard)") {
+    import spark.implicits._
+    // two rows share (key hash, order tuple): the re-attach join would
+    // silently emit 4 rows; the rank-vs-row_number guard must raise
+    val df = spark.createDataset(Seq(
+      ("c1", 1, "same payload"), ("c1", 1, "same payload"),
+      ("c2", 1, "other payload")))
+      .toDF("conv_id", "turn_idx", "extracted_text")
+    val ranked = Job.rankDuplicates(df, "extracted_text",
+      Seq("conv_id", "turn_idx"), "dup_rank")
+    val e = intercept[Exception] { ranked.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate (key, order)")),
+      e.toString)
+    // the unique-order contract holds -> no error, exact ranks
+    val ok = Job.rankDuplicates(df.withColumn("turn_idx",
+        monotonically_increasing_id()),
+      "extracted_text", Seq("conv_id", "turn_idx"), "dup_rank")
+    assert(ok.count() == 3)
+  }
+
   test("minhash candidate generation shuffles slim rows only") {
     import spark.implicits._
     val docs = spark.createDataset(Seq((1L, "a b c d e f g")))

@@ -44,6 +44,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(sort(back) == turns)
   }
 
+  test("CSV round-trips null fields as null, not empty string") {
+    import spark.implicits._
+    // null text/tool vs genuinely-empty tool: the writer must emit the
+    // same U+0000 sentinel the reader maps back to null, or a null
+    // round-trips as "" (the writer's default null representation is
+    // the unquoted empty the reader no longer treats as null)
+    val withNulls = Seq(
+      Turn("c1", 0, "user", null, "", ts(86400000L)),
+      Turn("c1", 1, "user", "text", null, ts(86401000L)),
+      Turn("c2", 0, "user", "", "", ts(86402000L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-null")
+      .toString
+    TranscriptSource.writeCsv(spark.createDataset(withNulls), s"$dir/t")
+    val back = TranscriptSource.csv(spark, s"$dir/t").collect()
+    assert(sort(back) == withNulls)
+  }
+
   test("explicit schema matches the Turn contract (no inference)") {
     val names = TranscriptSource.schema.fields.map(f =>
       (f.name, f.dataType.typeName)).toSeq
