@@ -144,6 +144,31 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)))
   }
 
+  test("long chain (diameter 60) converges in logarithmic rounds — " +
+    "the drifting-template shape min-label propagation aborted on") {
+    import spark.implicits._
+    // a 61-node path (daily page revisions v1~v2~...~v61: adjacent
+    // similarity above threshold, endpoints dissimilar). Min-label
+    // propagation needs diameter rounds (60 > its former 25-round
+    // abort); alternating large-star/small-star must resolve it well
+    // inside a 10-round budget
+    val pairs = (0 until 60).map(i => (i.toLong, i + 1L))
+      .toDF("id_a", "id_b")
+    val verts = spark.range(61).toDF("id")
+    val got = Clusters.connectedComponents(spark, pairs, verts,
+      maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 60L).map(i => (i, 0L)).toSet)
+  }
+
+  test("empty graph (no vertices, no pairs) returns empty, not a crash") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val verts = Seq.empty[Long].toDF("id")
+    assert(Clusters.connectedComponents(spark, pairs, verts)
+      .collect().isEmpty)
+  }
+
   test("components are deterministic across partitionings") {
     import spark.implicits._
     val r = new java.util.Random(17)
