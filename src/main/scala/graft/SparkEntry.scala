@@ -274,6 +274,50 @@ object SparkEntry {
         $"extractor", $"extracted_text".as("extracted"))
     },
 
+    // the watermarked windowed aggregation (the monitoring rollup a
+    // production stream feeds): doc-derived turns streamed through
+    // windowedStats with 1-minute event-time windows; the rollup must
+    // match a batch GROUP BY over epoch-floored windows in DuckDB.
+    // Append-mode mechanics (the part worth gating): a window only
+    // emits once the watermark passes its end, and with AvailableNow
+    // the final watermark is max(event time) - delay — so a SENTINEL
+    // turn one hour past the corpus pushes the watermark beyond every
+    // real window (its own window never finalizes and is filtered
+    // anyway). Everything is staged as one micro-batch
+    // (maxFilesPerTrigger high) so file-replay disorder cannot
+    // late-drop rows; the no-data batch after it advances the
+    // watermark and flushes the finalized windows.
+    "x_streaming_stats" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("wstats")
+      docTurns(s, dir)
+        .filter(!$"text".startsWith("stale duplicate"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val maxTs = s.read.parquet(s"$tmp/in")
+        .agg(max($"ts")).collect()(0).getTimestamp(0)
+      s.createDataset(Seq(Turn("__sentinel__", 0, "user", "x", "",
+        new java.sql.Timestamp(maxTs.getTime + 3600L * 1000))))
+        .write.mode("append").parquet(s"$tmp/in")
+      val stream = graft.streaming.StreamingJob.readTurnStream(s,
+        s"$tmp/in", maxFilesPerTrigger = 100000)
+      val stats = graft.streaming.StreamingJob.windowedStats(stream,
+        windowLen = "1 minute", watermarkDelay = "10 minutes")
+      stats.selectExpr("conv_id", "window.start AS w_ts", "n_turns",
+        "n_errors")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      dropStreamStaging(tmp)
+      s.read.parquet(s"$tmp/out")
+        .filter($"conv_id" =!= "__sentinel__")
+        .select($"conv_id", unix_timestamp($"w_ts").as("w_start"),
+          $"n_turns", $"n_errors")
+    },
+
     // the full pipeline (dedupe included) over a LINE-DELIMITED JSON
     // source instead of parquet: turns staged as JSONL, read back with
     // the explicit-schema source (no inference pass — see
@@ -522,6 +566,19 @@ object SparkEntry {
         length($"text").cast("long").as("n_chars"))
     },
 
+    // BPE-1 subword token counting (see ops/Bpe.scala): frozen merge
+    // table applied as a nested-replace chain over fenced-char word
+    // encodings; bpe_hash pins the exact merge table into the gate.
+    // repartition: CPU-bound 50-deep replace chain per word (see the
+    // t_repetition note on single-file scans)
+    "t_bpe_tokens" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          graft.ops.Bpe.tokenCount($"text").as("n_bpe_tokens"),
+          lit(graft.ops.Bpe.contentHash).as("bpe_hash"))
+    },
+
     "t_dedup_exact" -> { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"h")
@@ -600,7 +657,7 @@ object SparkEntry {
     // -> quality gate -> language ID -> PII scrub, all in one job over
     // a corpus with planted twins; the oracle reassembles the same
     // flow from the independently tested SQL fragments (exact jaccard
-    // edges + recursive closure + QUAL-1 + LANGID-3 + REDACT-1)
+    // edges + recursive closure + QUAL-1 + LANGID-4 + REDACT-1)
     "t_corpus_cleanse" -> { (s, dir) =>
       import s.implicits._
       val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
@@ -730,7 +787,7 @@ object SparkEntry {
 
     "t_lang_id" -> { (s, dir) =>
       import s.implicits._
-      // LANGID-3 (see ops/Lexicon.scala): script presence then
+      // LANGID-4 (see ops/Lexicon.scala): script presence then
       // stopword-ratio argmax over en/de/fr/es/it/pt/nl; lex_hash pins
       // the exact dictionary contents into the correctness gate.
       // Deterministic fixture rows are appended so every branch (incl.
@@ -746,7 +803,7 @@ object SparkEntry {
           lit(graft.ops.Lexicon.collection.contentHash).as("lex_hash"))
     })
 
-  /** LANGID-3 fixture turns appended by t_lang_id (mirrored into the
+  /** LANGID-4 fixture turns appended by t_lang_id (mirrored into the
     * oracle as VALUES from this same list): two rows per stopword
     * language family plus each script class and an 'other'.
     */
@@ -767,7 +824,12 @@ object SparkEntry {
     9000009L -> "한국어 텍스트입니다",
     9000010L -> "这是中文文本",
     9000011L -> "это русский текст для проверки",
-    9000012L -> "xyzzy qwerty asdfgh")
+    9000012L -> "xyzzy qwerty asdfgh",
+    9000013L -> "هذا نص عربي للاختبار",
+    9000014L -> "זהו טקסט בעברית לבדיקה",
+    9000015L -> "αυτό είναι ελληνικό κείμενο",
+    9000016L -> "यह परीक्षण के लिए हिंदी पाठ है",
+    9000017L -> "นี่คือข้อความภาษาไทย")
 
   /** Planted-twin ANN corpus shared by t_ann_lsh / t_ann_ivf: base
     * embeddings plus 3 colinear twins per query vector.
@@ -938,6 +1000,16 @@ object SparkEntry {
     // the JSONL ingestion path must land it too
     "x_jsonl_source" -> transcriptsSql,
 
+    // batch mirror of the streaming windowed rollup: docTurns stamps
+    // doc_id as epoch second 86400 + doc_id, so the 1-minute window
+    // start is the epoch floor; extraction errors are zero on the
+    // synthetic corpus (x_lineage gates that independently)
+    "x_streaming_stats" ->
+      ("SELECT 'c' || (doc_id % 100) AS conv_id, " +
+        "((86400 + doc_id) // 60) * 60 AS w_start, " +
+        "count(*) AS n_turns, 0::BIGINT AS n_errors " +
+        "FROM documents GROUP BY 1, 2"),
+
     // mirror of Multimodal.decodeStub: FNV-1a over the payload bytes
     // (ASCII text -> same as chars) in mod-2^64 HUGEINT arithmetic,
     // then the stub's width/height/frames/hash derivations
@@ -1083,6 +1155,8 @@ object SparkEntry {
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "length(text) AS n_chars FROM documents"),
 
+    "t_bpe_tokens" -> bpeTokensOracleSql,
+
     "t_dedup_exact" ->
       ("SELECT doc_id, md5(text) AS h, " +
         "count(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup " +
@@ -1152,7 +1226,7 @@ object SparkEntry {
 
     // the curation flow reassembled from tested fragments: jaccard
     // edges >= 0.9 on the twin corpus, recursive-closure keepers,
-    // QUAL-1 gate, LANGID-3 label, REDACT-1 scrub
+    // QUAL-1 gate, LANGID-4 label, REDACT-1 scrub
     "t_corpus_cleanse" ->
       ("WITH RECURSIVE corpus AS (SELECT doc_id AS id, text " +
         "FROM documents UNION ALL SELECT doc_id + 1000000, " +
@@ -1292,13 +1366,13 @@ object SparkEntry {
 
     "t_lang_id" -> langIdOracleSql)
 
-  /** LANGID-3 oracle: IN-lists and the argmax CASE chain are GENERATED
+  /** LANGID-4 oracle: IN-lists and the argmax CASE chain are GENERATED
     * from the same frozen stopword vectors the Spark expression uses
     * (no transcription drift), while the lex_hash stays a HARD-CODED
     * literal — editing a stopword list without re-pinning breaks the
     * gate, which is the pin's purpose.
     */
-  /** LANGID-3 per-language ratio definitions (SELECT-list fragment over
+  /** LANGID-4 per-language ratio definitions (SELECT-list fragment over
     * columns `toks`), generated from the frozen stopword vectors.
     */
   private lazy val langRatioDefsSql: String =
@@ -1309,7 +1383,7 @@ object SparkEntry {
         s"greatest(len(toks), 1) AS r_$l"
     }.mkString(", ")
 
-  /** LANGID-3 decision CASE (over columns `text`, `toks`, `r_*`). */
+  /** LANGID-4 decision CASE (over columns `text`, `toks`, `r_*`). */
   private lazy val langCaseSql: String = {
     val langs = graft.ops.Lexicon.langOrder
     val caseChain = langs.indices.map { i =>
@@ -1323,7 +1397,33 @@ object SparkEntry {
       "WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko' " +
       "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
       "WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru' " +
+      "WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar' " +
+      "WHEN regexp_matches(text, '[\\x{0590}-\\x{05ff}]') THEN 'he' " +
+      "WHEN regexp_matches(text, '[\\x{0370}-\\x{03ff}]') THEN 'el' " +
+      "WHEN regexp_matches(text, '[\\x{0900}-\\x{097f}]') THEN 'hi' " +
+      "WHEN regexp_matches(text, '[\\x{0e00}-\\x{0e7f}]') THEN 'th' " +
       s"$caseChain ELSE 'other' END"
+  }
+
+  /** BPE-1 oracle: the nested-replace merge chain is GENERATED from the
+    * same frozen merge table the Spark expression folds over (no
+    * transcription drift), while bpe_hash stays a HARD-CODED literal —
+    * editing a merge without re-pinning breaks the gate (the same
+    * tamper-seal pattern as the LANGID lexicon hash).
+    */
+  private lazy val bpeTokensOracleSql: String = {
+    val chain = graft.ops.Bpe.merges.foldLeft(
+      "'|' || array_to_string(string_split(x, ''), '||') || '|'") {
+      case (s, (a, b)) => s"replace($s, '|$a||$b|', '|$a$b|')"
+    }
+    "WITH w AS (SELECT doc_id, list_filter(list_transform(" +
+      "string_split(text, ' '), w -> regexp_replace(w, " +
+      "'[^\\x21-\\x7B\\x7D\\x7E]', '', 'g')), x -> x <> '') AS ws " +
+      "FROM documents) " +
+      "SELECT doc_id, coalesce(list_sum(list_transform(ws, x -> " +
+      s"len(string_split($chain, '||')))), 0)::BIGINT " +
+      "AS n_bpe_tokens, '237bd1c3f643e1f4d049297819a74a39aae84222" +
+      "0b8d8b4c1a190fa39c904578' AS bpe_hash FROM w"
   }
 
   private lazy val langIdOracleSql: String = {

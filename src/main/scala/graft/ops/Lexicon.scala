@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Lexicon machinery + frozen language-ID spec LANGID-3.
+/** Lexicon machinery + frozen language-ID spec LANGID-4.
   *
   * Mirrors the reference's lexicon layer: named word collections with a
   * CONTENT-HASH pin so a run records exactly which dictionary produced
@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * lookups (vkit/utility/text/opt.py:50-99 uses an interval tree; at
   * this scale a sorted-array binary search is the same contract).
   *
-  * LANGID-3 (frozen; the DuckDB oracle mirrors it EXACTLY — change both
+  * LANGID-4 (frozen; the DuckDB oracle mirrors it EXACTLY — change both
   * together and re-pin the contentHash literal in the oracle):
   *   1. no tokens -> 'other'
   *   2. script presence, first match wins: hiragana/katakana -> 'ja',
-  *      hangul -> 'ko', CJK ideographs -> 'zh', cyrillic -> 'ru'
+  *      hangul -> 'ko', CJK ideographs -> 'zh', cyrillic -> 'ru',
+  *      arabic -> 'ar', hebrew -> 'he', greek -> 'el',
+  *      devanagari -> 'hi', thai -> 'th'
   *      (ja/ko precede zh because those scripts co-occur with kanji);
   *      the regex character classes are GENERATED from `charRanges` —
   *      one source of truth for script ranges
@@ -29,6 +31,10 @@ import org.apache.spark.sql.functions._
   * (cross-language collisions like 'de'/'la'/'que' are resolved by the
   * argmax over full lists), script regexes now derived from the
   * interval table.
+  * v3 -> v4: script-presence breadth — ar/he/el/hi branches over the
+  * arabic/hebrew/greek/devanagari intervals the table already carried,
+  * plus a new thai interval + branch (a large slice of any web crawl
+  * previously classified 'other').
   */
 object Lexicon {
 
@@ -122,6 +128,7 @@ object Lexicon {
     (0x0590, 0x05FF, "hebrew"),
     (0x0600, 0x06FF, "arabic"),
     (0x0900, 0x097F, "devanagari"),
+    (0x0E00, 0x0E7F, "thai"),
     (0x3040, 0x309F, "hiragana"),
     (0x30A0, 0x30FF, "katakana"),
     (0x4E00, 0x9FFF, "cjk"),
@@ -153,7 +160,21 @@ object Lexicon {
       .map { case (a, b, _) => f"\\x{$a%04X}-\\x{$b%04X}" }
       .mkString + "]"
 
-  /** LANGID-3 as a pure codegen'd Column expression (no UDF). */
+  /** Script-presence branches in decision order (frozen by LANGID-4;
+    * the oracle hardcodes the same ranges/order independently).
+    */
+  val scriptBranches: Vector[(Vector[String], String)] = Vector(
+    (Vector("hiragana", "katakana"), "ja"),
+    (Vector("hangul"), "ko"),
+    (Vector("cjk"), "zh"),
+    (Vector("cyrillic"), "ru"),
+    (Vector("arabic"), "ar"),
+    (Vector("hebrew"), "he"),
+    (Vector("greek"), "el"),
+    (Vector("devanagari"), "hi"),
+    (Vector("thai"), "th"))
+
+  /** LANGID-4 as a pure codegen'd Column expression (no UDF). */
   def langId(text: Column): Column = {
     val toks = filter(split(lower(text), " "), x => x =!= lit(""))
     // denominator floored at 1 (mirrored in the oracle SQL) so the
@@ -167,11 +188,10 @@ object Lexicon {
     val r = langOrder.map(l => ratio(collection(l)))
     // lang i wins if its ratio >= every later ratio (earlier langs
     // already failed their own test) and >= 0.03
-    val base = when(size(toks) === 0, "other")
-      .when(text.rlike(rangesRegex("hiragana", "katakana")), "ja")
-      .when(text.rlike(rangesRegex("hangul")), "ko")
-      .when(text.rlike(rangesRegex("cjk")), "zh")
-      .when(text.rlike(rangesRegex("cyrillic")), "ru")
+    val base = scriptBranches.foldLeft(
+      when(size(toks) === 0, "other")) { case (acc, (classes, lang)) =>
+      acc.when(text.rlike(rangesRegex(classes: _*)), lang)
+    }
     langOrder.indices.foldLeft(base) { (acc, i) =>
       val wins = (i + 1 until langOrder.length)
         .map(j => r(i) >= r(j))

@@ -87,8 +87,10 @@ object Versions {
     * stopword edit without a re-pin breaks the gate even if this string
     * is forgotten. v3: 4 -> 7 stopword languages at 50 words each;
     * script regexes derived from the charRanges interval table.
+    * v4: script-presence breadth — ar/he/el/hi/th branches (thai added
+    * to the interval table).
     */
-  val LangIdVersion = "v3"
+  val LangIdVersion = "v4"
 
   /** Frozen multimodal header-decode spec version. v1: real PNG/GIF/
     * BMP/JPEG/WAV container-header parsing (incl. animated-GIF frame

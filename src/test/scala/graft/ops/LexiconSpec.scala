@@ -16,7 +16,7 @@ class LexiconSpec extends AnyFunSuite {
       "f63b9a4141b95e512ff38293c887eafaf6dbb3ebb7eddf9a274f48fc9bf173d7")
   }
 
-  test("LANGID-3 lists are 50 distinct lowercase words per language") {
+  test("LANGID-4 lists are 50 distinct lowercase words per language") {
     assert(Lexicon.langOrder ==
       Vector("en", "de", "fr", "es", "it", "pt", "nl"))
     for (l <- Lexicon.stopwords) {
@@ -47,7 +47,7 @@ class LexiconSpec extends AnyFunSuite {
     assert(Lexicon.charClass(' ') == "other")
   }
 
-  test("LANGID-3 classifies scripts and all 7 stopword languages") {
+  test("LANGID-4 classifies scripts and all 7 stopword languages") {
     import spark.implicits._
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy to be there"),
@@ -65,12 +65,31 @@ class LexiconSpec extends AnyFunSuite {
       (10L, "中文文本在这里"), // ideographs only -> zh
       (11L, "русский текст здесь"), // cyrillic -> ru
       (12L, "zzz qqq xxx www yyy"), // no stopwords -> other
-      (13L, "   ")) // no tokens -> other
+      (13L, "   "), // no tokens -> other
+      (14L, "هذا نص عربي"), // arabic -> ar
+      (15L, "זהו טקסט בעברית"), // hebrew -> he
+      (16L, "ελληνικό κείμενο εδώ"), // greek -> el
+      (17L, "यह हिंदी पाठ है"), // devanagari -> hi
+      (18L, "ข้อความภาษาไทย")) // thai -> th
     val out = samples.toDF("id", "text")
       .select($"id", Lexicon.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
       5L -> "it", 6L -> "pt", 7L -> "nl", 8L -> "ja", 9L -> "ko",
-      10L -> "zh", 11L -> "ru", 12L -> "other", 13L -> "other"))
+      10L -> "zh", 11L -> "ru", 12L -> "other", 13L -> "other",
+      14L -> "ar", 15L -> "he", 16L -> "el", 17L -> "hi", 18L -> "th"))
+  }
+
+  test("LANGID-4 script branches are generated from charRanges (one " +
+    "source of truth)") {
+    // every script branch's classes exist in the interval table, and
+    // the thai interval added in v4 resolves via charClass
+    val classes = Lexicon.charRanges.map(_._3).toSet
+    for ((cs, _) <- Lexicon.scriptBranches; c <- cs)
+      assert(classes.contains(c), c)
+    assert(Lexicon.charClass(0x0E01) == "thai") // ก
+    assert(Lexicon.charClass(0x0627) == "arabic") // ا
+    assert(Lexicon.charClass(0x05D0) == "hebrew") // א
+    assert(Lexicon.charClass(0x0915) == "devanagari") // क
   }
 }
