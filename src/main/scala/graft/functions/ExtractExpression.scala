@@ -230,6 +230,8 @@ object GraftOpFunctions {
       cs => graft.ops.TextStats.sampleBucket(cs.head)),
     reg("graft_lang_id", 1,
       cs => graft.ops.Lexicon.langId(cs.head)),
+    reg("graft_bpe_tokens", 1,
+      cs => graft.ops.Bpe.tokenCount(cs.head)),
     reg("graft_cosine", 2,
       cs => graft.ops.Ann.cosine(cs(0), cs(1))),
     (FunctionIdentifier("graft_media_meta"),
