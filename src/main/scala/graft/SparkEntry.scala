@@ -379,6 +379,27 @@ object SparkEntry {
           $"n_frames")
     },
 
+    // MEDIA-2 real content decode: even ids are 24-bit BMPs with
+    // formula-synthesized pixels, odd ids 16-bit PCM WAVs with
+    // formula-synthesized samples; Spark decodes pixels/samples FROM
+    // THE BYTES (bottom-up BGR rows + padding, LE sample words) into
+    // integer 8-band embeddings + FNV-1a content hashes, while the
+    // oracle recomputes both from the synthesis formulas — a decoder
+    // or writer bug on either side breaks the match
+    "t_media_content" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContentContainer(id))
+        }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val embCols = (0 until 8).map(d =>
+        element_at($"embedding", d + 1).cast("long").as(s"e$d"))
+      feats.select(
+        ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
+    },
+
     // frame sampling + resize planning over the same real containers:
     // every 2nd frame index capped at 8 refs/media (bounded expansion),
     // resize dims by exact integer scaling into a 64-box; the oracle
@@ -1052,6 +1073,8 @@ object SparkEntry {
         "WHEN doc_id % 5 = 1 THEN 1 + doc_id % 5 ELSE 1 " +
         "END)::INT AS n_frames FROM documents"),
 
+    "t_media_content" -> mediaContentOracleSql,
+
     // mirrors frameSample(every=2, maxFrames=8, target=64) over the
     // synthesis formulas: per media, indices 0,2,... below the frame
     // count (first 8), dims scaled into a 64-box by integer division
@@ -1403,6 +1426,65 @@ object SparkEntry {
       "WHEN regexp_matches(text, '[\\x{0900}-\\x{097f}]') THEN 'hi' " +
       "WHEN regexp_matches(text, '[\\x{0e00}-\\x{0e7f}]') THEN 'th' " +
       s"$caseChain ELSE 'other' END"
+  }
+
+  /** MEDIA-2 oracle: recomputes the BMP luma / WAV abs-sample content
+    * hashes and 8-band floor-mean embeddings from the synthesis
+    * formulas (Multimodal.synthContent*) in pure integer SQL — the
+    * Spark side must recover identical values from the container BYTES
+    * alone (bottom-up BGR rows + padding, LE PCM words). FNV-1a runs
+    * in mod-2^64 HUGEINT arithmetic (the established t_multimodal
+    * mirror).
+    */
+  private lazy val mediaContentOracleSql: String = {
+    val fnv = (vals: String) =>
+      s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $vals)" +
+        ", (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % " +
+        "18446744073709551616::HUGEINT)"
+    val toSigned = (h: String) =>
+      s"(CASE WHEN $h >= 9223372036854775808::HUGEINT " +
+        s"THEN $h - 18446744073709551616::HUGEINT ELSE $h END)::BIGINT"
+    // per-pixel integer luma as a function of flat index i (y=i//w,
+    // x=i%w) and the channel formulas
+    val luma =
+      "((299*((doc_id + 3*(i%w) + 7*(i//w)) % 256) + " +
+        "587*((2*doc_id + 5*(i%w) + (i//w)) % 256) + " +
+        "114*((3*doc_id + (i%w) + 11*(i//w)) % 256)) // 1000)"
+    val bmpBands = (0 until 8).map { d =>
+      val sel = s"list_filter(idx, i -> (i//w)*8//h = $d)"
+      s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +
+        s"list_sum(list_transform($sel, i -> $luma))::BIGINT // " +
+        s"len($sel) END)::BIGINT AS e$d"
+    }.mkString(", ")
+    // wav sample s_i and its unsigned LE byte pair
+    val samp = "(((doc_id*31 + i*17) % 2001) - 1000)"
+    val usamp = s"(CASE WHEN $samp < 0 THEN $samp + 65536 ELSE $samp END)"
+    val wavBands = (0 until 8).map { d =>
+      val sel = s"list_filter(idx, i -> i*8//n = $d)"
+      s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +
+        s"list_sum(list_transform($sel, i -> abs($samp)))::BIGINT // " +
+        s"len($sel) END)::BIGINT AS e$d"
+    }.mkString(", ")
+    "WITH bm AS (SELECT doc_id, 4 + doc_id % 13 AS w, " +
+      "4 + doc_id % 11 AS h FROM documents WHERE doc_id % 2 = 0), " +
+      "bi AS (SELECT *, generate_series(0, (w*h - 1)::BIGINT) AS idx " +
+      "FROM bm), " +
+      "bh AS (SELECT doc_id, " +
+      fnv(s"list_transform(idx, i -> $luma::HUGEINT)") + " AS hh, " +
+      s"$bmpBands FROM bi), " +
+      "wm AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents " +
+      "WHERE doc_id % 2 = 1), " +
+      "wi AS (SELECT *, generate_series(0, (n - 1)::BIGINT) AS idx " +
+      "FROM wm), " +
+      "wh AS (SELECT doc_id, " +
+      fnv("flatten(list_transform(idx, i -> " +
+        s"[($usamp % 256)::HUGEINT, ($usamp // 256)::HUGEINT]))") +
+      s" AS hh, $wavBands FROM wi) " +
+      "SELECT doc_id AS media_id, 'bmp' AS format, " +
+      toSigned("hh") + " AS content_hash, " +
+      (0 until 8).map(d => s"e$d").mkString(", ") + " FROM bh " +
+      "UNION ALL SELECT doc_id, 'wav', " + toSigned("hh") + ", " +
+      (0 until 8).map(d => s"e$d").mkString(", ") + " FROM wh"
   }
 
   /** BPE-1 oracle: the nested-replace merge chain is GENERATED from the

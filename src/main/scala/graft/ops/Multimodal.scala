@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *    per the published container specs, no codec libraries needed;
   *  - payloads with unrecognized/invalid magic fall back to the
   *    DETERMINISTIC STUB (`decodeStub`, format = "unknown"), which
-  *    derives plausible values purely from the bytes; pixel/sample
-  *    DECODE (vs header metadata) stays stubbed — this container ships
-  *    no image/audio libraries; swap the embedding/content branch for a
+  *    derives plausible values purely from the bytes;
+  *  - MEDIA-2: pixel/sample CONTENT is decoded for real for
+  *    uncompressed 24-bit BMP and 16-bit PCM WAV (see
+  *    `decodeBmpContent`/`decodeWavContent`) — integer 8-band
+  *    embeddings + FNV-1a content hashes; COMPRESSED formats
+  *    (png/gif/jpeg payload streams) keep the labeled stub — this
+  *    container ships no image/audio libraries; swap that branch for a
   *    real codec (e.g. TwelveMonkeys/JavaCV) in production;
   *  - stills (png/bmp/jpeg) report n_frames = 1; GIF reports its image-
   *    descriptor count from the block walk (animated GIFs get real
@@ -172,6 +176,107 @@ object Multimodal {
     parsePng(b).orElse(parseGif(b)).orElse(parseBmp(b))
       .orElse(parseJpeg(b)).orElse(parseWav(b))
 
+  // ---- real content decode (MEDIA-2: uncompressed BMP / WAV PCM) ------
+
+  /** MEDIA-2 frozen content contract for the two formats a pure-JVM
+    * fixed-offset reader can decode without codec libraries:
+    *  - BMP (24-bit uncompressed, BITMAPINFOHEADER, bottom-up): per
+    *    pixel integer luma = (299r + 587g + 114b) / 1000; content hash
+    *    = FNV-1a over the luma bytes in TOP-DOWN row-major order;
+    *    embedding = 8 horizontal row bands (band of row y = y*8/h),
+    *    each the floor-mean luma of its band (0 for an empty band);
+    *  - WAV (PCM mono/any-channel 16-bit): content hash = FNV-1a over
+    *    the raw data-chunk bytes; embedding = 8 index bands over the
+    *    16-bit samples (band of sample i = i*8/n), each the floor-mean
+    *    ABSOLUTE sample value.
+    * All arithmetic is integer, so a SQL oracle recomputes the values
+    * exactly from the synthesis formulas. Compressed formats (png/gif/
+    * jpeg deflate/LZW/DCT payloads) stay on the labeled stub — the
+    * documented swap point for a real codec.
+    */
+  def decodeBmpContent(b: Array[Byte]): Option[(Long, Seq[Float])] = {
+    if (b.length < 54 || !ascii(b, 0, "BM") || le32(b, 14) != 40L)
+      return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22) // positive = bottom-up (the only MEDIA-2 form)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    // hostile-header hardening: dims are attacker-controlled; clamping
+    // keeps the Long row math below overflow-free, and the payload
+    // length bound keeps work linear in the actual bytes
+    if (bpp != 24 || comp != 0L || w <= 0 || h <= 0 ||
+      w > (1 << 20) || h > (1 << 20)) return None
+    val rowSize = ((3L * w + 3L) / 4L) * 4L
+    if (off < 54L || off + rowSize * h > b.length) return None
+    var hash = 0xCBF29CE484222325L
+    val sums = new Array[Long](8)
+    val cnts = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      val base = (off + (h - 1 - y) * rowSize).toInt // bottom-up rows
+      val band = (y * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val bb = u8(b, base + 3 * x)
+        val gg = u8(b, base + 3 * x + 1)
+        val rr = u8(b, base + 3 * x + 2)
+        val luma = (299 * rr + 587 * gg + 114 * bb) / 1000
+        hash ^= luma
+        hash *= 0x100000001B3L
+        sums(band) += luma
+        cnts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some((hash, (0 until 8).map(d =>
+      if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat)))
+  }
+
+  def decodeWavContent(b: Array[Byte]): Option[(Long, Seq[Float])] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
+      return None
+    var p = 12
+    var fmtOk = false
+    var dataOff = -1L
+    var dataSize = -1L
+    while (p + 8 <= b.length && (!fmtOk || dataOff < 0)) {
+      val size = le32(b, p + 4)
+      if (ascii(b, p, "fmt ") && p + 24 <= b.length)
+        fmtOk = le16(b, p + 8) == 1 && le16(b, p + 22) == 16 // PCM, 16-bit
+      else if (ascii(b, p, "data")) { dataOff = p + 8L; dataSize = size }
+      val next = p.toLong + 8L + size + (size & 1L)
+      if (next > Int.MaxValue) return None
+      p = next.toInt
+    }
+    if (!fmtOk || dataOff < 0 || dataOff + dataSize > b.length)
+      return None
+    val n = (dataSize / 2L).toInt
+    if (n <= 0) return None
+    var hash = 0xCBF29CE484222325L
+    var i = 0
+    while (i < dataSize) {
+      hash ^= u8(b, (dataOff + i).toInt)
+      hash *= 0x100000001B3L
+      i += 1
+    }
+    val sums = new Array[Long](8)
+    val cnts = new Array[Long](8)
+    var s = 0
+    while (s < n) {
+      val lo = u8(b, (dataOff + 2L * s).toInt)
+      val hi = b((dataOff + 2L * s + 1L).toInt).toInt // sign-extended
+      val v = (hi << 8) | lo
+      val band = (s.toLong * 8 / n).toInt
+      sums(band) += math.abs(v)
+      cnts(band) += 1
+      s += 1
+    }
+    Some((hash, (0 until 8).map(d =>
+      if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat)))
+  }
+
   /** DETERMINISTIC FAKE DECODE — stands in for the media codec. */
   def decodeStub(kind: String, payload: Array[Byte])
       : (Int, Int, Int, Long, Seq[Float]) = {
@@ -208,9 +313,17 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (heavyweight codec)
       it.map { m =>
-        val (w0, h0, f0, hash, emb) = decodeStub(m.kind, m.payload)
+        val (w0, h0, f0, stubHash, stubEmb) = decodeStub(m.kind, m.payload)
         val (fmt, w, h, frames) = parseContainerHeader(m.payload)
           .getOrElse(("unknown", w0, h0, f0))
+        // MEDIA-2: real content hash + embedding for the formats a
+        // pure-JVM reader can decode; everything else keeps the
+        // labeled stub (the codec swap point)
+        val (hash, emb) = (fmt match {
+          case "bmp" => decodeBmpContent(m.payload)
+          case "wav" => decodeWavContent(m.payload)
+          case _     => None
+        }).getOrElse((stubHash, stubEmb))
         MediaFeatures(m.media_id, m.kind, fmt, m.payload.length.toLong,
           w, h, frames, hash, emb)
       }
@@ -278,6 +391,66 @@ object Multimodal {
         le16(2); le16(16)
         s("data"); le32(dataSize)
         out.write(new Array[Byte](dataSize), 0, dataSize)
+    }
+    out.toByteArray
+  }
+
+  /** MEDIA-2 content-synthesis formulas (mirrored by the
+    * t_media_content oracle): id%2==0 -> 24-bit BMP, w=4+id%13,
+    * h=4+id%11, per-pixel channels (top-down logical coords)
+    * r=(id+3x+7y)%256, g=(2id+5x+y)%256, b=(3id+x+11y)%256;
+    * id%2==1 -> 16-bit PCM WAV with n=50+id%100 samples
+    * s_i=((id*31+i*17)%2001)-1000.
+    */
+  def synthContentDims(id: Long): (Int, Int) =
+    ((4 + id % 13).toInt, (4 + id % 11).toInt)
+
+  def synthContentPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id + 3L * x + 7L * y) % 256).toInt,
+      ((2L * id + 5L * x + y) % 256).toInt,
+      ((3L * id + x + 11L * y) % 256).toInt)
+
+  def synthContentSamples(id: Long): Array[Int] = {
+    val n = (50 + id % 100).toInt
+    Array.tabulate(n)(i => ((id * 31 + i * 17L) % 2001).toInt - 1000)
+  }
+
+  /** A real, minimal container with CONTENT for id: even ids a 24-bit
+    * BMP (bottom-up rows, 4-byte row padding), odd ids a 16-bit PCM
+    * WAV — the two formats `decodeBmpContent`/`decodeWavContent` read
+    * for real.
+    */
+  def synthContentContainer(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xFF))
+    def s(str: String): Unit = str.foreach(c => out.write(c.toInt))
+    def le16(v: Int): Unit = b(v, v >>> 8)
+    def le32(v: Int): Unit = b(v, v >>> 8, v >>> 16, v >>> 24)
+    if (id % 2 == 0) {
+      val (w, h) = synthContentDims(id)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      s("BM"); le32(54 + rowSize * h); le32(0); le32(54)
+      le32(40); le32(w); le32(h); le16(1); le16(24)
+      le32(0); le32(rowSize * h); le32(0); le32(0); le32(0); le32(0)
+      for (fy <- 0 until h) {
+        val y = h - 1 - fy // file rows are bottom-up
+        for (x <- 0 until w) {
+          val (r, g, bl) = synthContentPixel(id, x, y)
+          b(bl, g, r) // BMP stores BGR
+        }
+        for (_ <- 3 * w until rowSize) b(0)
+      }
+    } else {
+      val samples = synthContentSamples(id)
+      val dataSize = 2 * samples.length
+      s("RIFF"); le32(36 + dataSize); s("WAVE")
+      s("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+      le16(2); le16(16)
+      s("data"); le32(dataSize)
+      samples.foreach { v =>
+        val u = if (v < 0) v + 65536 else v
+        b(u & 0xFF, u >>> 8)
+      }
     }
     out.toByteArray
   }

@@ -92,9 +92,12 @@ object Versions {
     */
   val LangIdVersion = "v4"
 
-  /** Frozen multimodal header-decode spec version. v1: real PNG/GIF/
-    * BMP/JPEG/WAV container-header parsing (incl. animated-GIF frame
-    * walk) with deterministic stub fallback for unknown magic.
+  /** Frozen multimodal decode spec version. v1: real PNG/GIF/BMP/JPEG/
+    * WAV container-header parsing (incl. animated-GIF frame walk) with
+    * deterministic stub fallback for unknown magic. v2 (MEDIA-2): real
+    * CONTENT decode for uncompressed 24-bit BMP pixels and 16-bit PCM
+    * WAV samples — integer luma/abs-sample 8-band embeddings + FNV-1a
+    * content hashes; compressed formats keep the labeled codec stub.
     */
-  val MediaVersion = "v1"
+  val MediaVersion = "v2"
 }

@@ -111,6 +111,83 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.parseContainerHeader(evil) // must return
   }
 
+  test("MEDIA-2: BMP pixel decode recovers the synthesis formulas " +
+    "from the bytes (bottom-up BGR rows + padding)") {
+    for (id <- Seq(0L, 2L, 26L, 100L)) {
+      val bytes = Multimodal.synthContentContainer(id)
+      val (hash, emb) = Multimodal.decodeBmpContent(bytes).get
+      // independent recomputation straight from the formulas
+      val (w, h) = Multimodal.synthContentDims(id)
+      var expHash = 0xCBF29CE484222325L
+      val sums = new Array[Long](8)
+      val cnts = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthContentPixel(id, x, y)
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        expHash ^= luma
+        expHash *= 0x100000001B3L
+        sums(y * 8 / h) += luma
+        cnts(y * 8 / h) += 1
+      }
+      assert(hash == expHash, id)
+      assert(emb == (0 until 8).map(d =>
+        if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat), id)
+    }
+  }
+
+  test("MEDIA-2: WAV PCM decode recovers the synthesis formulas " +
+    "(LE 16-bit words, signed)") {
+    for (id <- Seq(1L, 3L, 77L, 149L)) {
+      val bytes = Multimodal.synthContentContainer(id)
+      val (hash, emb) = Multimodal.decodeWavContent(bytes).get
+      val samples = Multimodal.synthContentSamples(id)
+      var expHash = 0xCBF29CE484222325L
+      for (v <- samples) {
+        val u = if (v < 0) v + 65536 else v
+        expHash ^= (u & 0xFF); expHash *= 0x100000001B3L
+        expHash ^= (u >>> 8); expHash *= 0x100000001B3L
+      }
+      val sums = new Array[Long](8)
+      val cnts = new Array[Long](8)
+      for (i <- samples.indices) {
+        sums(i * 8 / samples.length) += math.abs(samples(i))
+        cnts(i * 8 / samples.length) += 1
+      }
+      assert(hash == expHash, id)
+      assert(emb == (0 until 8).map(d =>
+        if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat), id)
+    }
+  }
+
+  test("MEDIA-2 content decoders never throw on hostile bytes (fuzz)") {
+    val r = new java.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val b = new Array[Byte](r.nextInt(300))
+      r.nextBytes(b)
+      Multimodal.decodeBmpContent(b)
+      Multimodal.decodeWavContent(b)
+    }
+    for (id <- 0L until 40L) {
+      val valid = Multimodal.synthContentContainer(id)
+      for (cut <- 0 to math.min(valid.length, 80)) {
+        Multimodal.decodeBmpContent(valid.take(cut))
+        Multimodal.decodeWavContent(valid.take(cut))
+      }
+      for (_ <- 0 until 40) {
+        val m = valid.clone()
+        m(r.nextInt(m.length)) = r.nextInt(256).toByte
+        Multimodal.decodeBmpContent(m)
+        Multimodal.decodeWavContent(m)
+      }
+    }
+    // hostile dims: a BMP header claiming w*h far beyond the payload
+    // must be rejected by the length bound, not walk off the array
+    val evil = Multimodal.synthContentContainer(0L).clone()
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte
+    evil(20) = 0x0F.toByte; evil(21) = 0
+    assert(Multimodal.decodeBmpContent(evil).isEmpty)
+  }
+
   test("graft_media_meta SQL function decodes headers via codegen") {
     import spark.implicits._
     graft.functions.GraftOpFunctions.register(spark)
