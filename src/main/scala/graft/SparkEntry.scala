@@ -681,12 +681,15 @@ object SparkEntry {
     // edges + recursive closure + QUAL-1 + LANGID-4 + REDACT-1)
     "t_corpus_cleanse" -> { (s, dir) =>
       import s.implicits._
-      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
-      val corpus = d.union(d.map { case (id, t) =>
-        (id + 1000000L, t + " graft cluster tail one")
-      })
+      val corpus = cleanseCorpus(s, dir)
+      // the recall ledger rides the flagship plan itself: the SAME
+      // count pass that prunes degenerate buckets lands dropped_
+      // buckets/dropped_rows on this run's Observation (readable by
+      // the operator after the action; oracle-gated standalone by
+      // t_cleanse_ledger)
+      val obs = new org.apache.spark.sql.Observation("cleanse-recall")
       val pairs = graft.ops.MinHashDedup.nearDuplicates(s, corpus,
-        threshold = 0.9)
+        threshold = 0.9, ledger = obs)
       val keep = graft.ops.Clusters.keepers(s, pairs,
         corpus.toDF("id", "text").select($"id"))
         .filter($"is_keeper").select($"id")
@@ -698,6 +701,26 @@ object SparkEntry {
           graft.ops.Lexicon.langId($"text").as("lang_pred"),
           round($"quality", 2).as("quality"),
           graft.ops.TextStats.redactPII($"text").as("clean_text"))
+    },
+
+    // the flagship's recall ledger under the oracle: the same twin
+    // corpus and pair job as t_corpus_cleanse with the ledger
+    // Observation attached; the emitted row carries the drop counts
+    // (deterministically zero at this fixture — every bucket holds a
+    // doc/twin pair, far under bucketCap; a data change that silently
+    // started dropping buckets would break this gate) plus the pair
+    // count the oracle recomputes by exact jaccard
+    "t_cleanse_ledger" -> { (s, dir) =>
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation("cleanse-ledger")
+      val pairs = graft.ops.MinHashDedup.nearDuplicates(s,
+        cleanseCorpus(s, dir), threshold = 0.9, ledger = obs)
+      val nPairs = pairs.count() // the action that lands the metrics
+      val m = obs.get
+      Seq((m.getOrElse("dropped_buckets", 0L).asInstanceOf[Long],
+        m.getOrElse("dropped_rows", 0L).asInstanceOf[Long],
+        nPairs))
+        .toDF("dropped_buckets", "dropped_rows", "n_pairs")
     },
 
     "t_dedup_simhash" -> { (s, dir) =>
@@ -851,6 +874,18 @@ object SparkEntry {
     9000015L -> "αυτό είναι ελληνικό κείμενο",
     9000016L -> "यह परीक्षण के लिए हिंदी पाठ है",
     9000017L -> "นี่คือข้อความภาษาไทย")
+
+  /** Twin corpus shared by t_corpus_cleanse / t_cleanse_ledger (docs
+    * plus one near-dup tail twin per doc).
+    */
+  private def cleanseCorpus(s: SparkSession, dir: String)
+      : Dataset[(Long, String)] = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    d.union(d.map { case (id, t) =>
+      (id + 1000000L, t + " graft cluster tail one")
+    })
+  }
 
   /** Planted-twin ANN corpus shared by t_ann_lsh / t_ann_ivf: base
     * embeddings plus 3 colinear twins per query vector.
@@ -1280,6 +1315,30 @@ object SparkEntry {
         s"round(${qualSql("text")}, 2) AS quality, " +
         s"${redactSql("text")} AS clean_text FROM r " +
         s"WHERE ${qualSql("text")} >= 0.5"),
+
+    // drop counts are structurally zero at this fixture (bucket sizes
+    // are doc/twin pairs, far under bucketCap) and the pair count is
+    // recomputed by exact jaccard over the same twin corpus — LSH
+    // recall on this fixture must be complete (the property
+    // t_corpus_cleanse's closure equality already implies) and the
+    // ledger must report no silent bucket drops
+    "t_cleanse_ledger" ->
+      ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, " +
+        "text || ' graft cluster tail one' FROM documents), " +
+        "tk AS (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
+        "sh AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
+        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tk)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9) " +
+        "SELECT 0::BIGINT AS dropped_buckets, 0::BIGINT AS dropped_rows, " +
+        "(SELECT count(*) FROM pairs)::BIGINT AS n_pairs"),
 
     // exact mirror of SimHash.simhash64: per-token FNV-1a then SplitMix64
     // finalizer, both in mod-2^64 HUGEINT arithmetic (the two big-constant

@@ -101,6 +101,29 @@ object MinHashDedup {
     inter.toDouble / (a.size + b.size - inter)
   }
 
+  /** Exact Jaccard by linear merge over SORTED distinct-element arrays
+    * — the per-pair verify path. A doc appearing in P candidate pairs
+    * pays its O(n log n) sort ONCE (in the `sh` stage below) and each
+    * pair intersects in O(n) by merge; the previous form rebuilt a
+    * hash Set from the shingle Seq once per PAIR row, avoidable
+    * constant-factor work that compounds on hot duplicate clusters
+    * (bucketCap bounds pairs per bucket but not across bands).
+    */
+  def jaccardSorted(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** (band_idx, band_hash, id) rows — slim shuffle keys; docs with no
     * shingles emit nothing.
     */
@@ -217,10 +240,12 @@ object MinHashDedup {
     // skipping it saves a whole shuffle stage
     val candIds = pairs
       .select(explode(array($"id_a", $"id_b")).as("id"))
+    // shingle arrays are SORTED once per doc here, so the per-pair
+    // verify below is a linear merge (see jaccardSorted)
     val sh = docs.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]
-      .map { case (id, text) => (id, mk(text).toSeq) }
+      .map { case (id, text) => (id, mk(text).toArray.sorted.toSeq) }
       .toDF("id", "sh")
 
     pairs
@@ -231,7 +256,7 @@ object MinHashDedup {
       .select($"id_a", $"id_b", $"sh_a", $"sh_b")
       .as[(Long, Long, Seq[Long], Seq[Long])]
       .map { case (a, b, shA, shB) =>
-        (a, b, exactJaccard(shA.toSet, shB.toSet))
+        (a, b, jaccardSorted(shA.toIndexedSeq, shB.toIndexedSeq))
       }
       .toDF("id_a", "id_b", "jaccard")
       .filter($"jaccard" >= threshold)

@@ -20,6 +20,19 @@ class MinHashDedupSpec extends AnyFunSuite {
     assert(MinHashDedup.charNgrams("abc", 8).isEmpty)
   }
 
+  test("jaccardSorted (merge) agrees with the Set formulation") {
+    val r = new java.util.Random(31)
+    for (_ <- 0 until 200) {
+      val a = (0 until r.nextInt(30)).map(_ => r.nextInt(40).toLong).toSet
+      val b = (0 until r.nextInt(30)).map(_ => r.nextInt(40).toLong).toSet
+      val merged = MinHashDedup.jaccardSorted(
+        a.toArray.sorted.toIndexedSeq, b.toArray.sorted.toIndexedSeq)
+      assert(merged == MinHashDedup.exactJaccard(a, b), (a, b))
+    }
+    assert(MinHashDedup.jaccardSorted(IndexedSeq.empty,
+      IndexedSeq.empty) == 1.0)
+  }
+
   test("signature similarity estimates jaccard") {
     val r = new java.util.Random(5)
     val base = (0 until 60).map(_ => s"w${r.nextInt(1000)}").mkString(" ")
