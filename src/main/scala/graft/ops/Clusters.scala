@@ -65,11 +65,14 @@ object Clusters {
       edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
+    // no intermediate distinct: duplicate (v, m) emissions are absorbed
+    // by small-star's groupBy/distinct in the same round — one fewer
+    // shuffle per round, and the emission count stays bounded by the
+    // symmetric edge count either way
     sym.filter(col("v") > col("u"))
       .join(mins, "u")
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** One small-star pass over (u > v)-oriented edges: point every
@@ -120,15 +123,22 @@ object Clusters {
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       vertices: DataFrame, maxIter: Int = 100): DataFrame = {
     import spark.implicits._
+    // materialize the pair list ONCE (slim 2-long rows): the vertex
+    // closure below references the pair plan twice and the final label
+    // join would otherwise RE-EXECUTE an expensive pair generator
+    // (minhash LSH candidate+verify in the flagship) at the output
+    // action — measured as a multi-second duplicate subtree in
+    // t_corpus_cleanse before this checkpoint
+    val raw = pairs.select($"id_a", $"id_b").localCheckpoint()
     // the vertex set is CLOSED over the pair ids: an id that appears
     // only in `pairs` still gets a label — without this a component
     // member missing from `vertices` would drop out of the output
     val allVerts = vertices.select($"id")
-      .union(pairs.select($"id_a".as("id")))
-      .union(pairs.select($"id_b".as("id")))
+      .union(raw.select($"id_a".as("id")))
+      .union(raw.select($"id_b".as("id")))
       .distinct()
     var (edges, summary) = checkpointWithSummary(
-      pairs
+      raw
         .select(greatest($"id_a", $"id_b").as("u"),
           least($"id_a", $"id_b").as("v"))
         .filter($"u" =!= $"v")
