@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
 object Probe16 {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val queryArgs = args.drop(1).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,7 +32,9 @@ object Probe16 {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val queries = Seq("t_corpus_cleanse", "x_pdf_docs", "x_html_docs")
+    val queries =
+      if (queryArgs.nonEmpty) queryArgs
+      else Seq("t_corpus_cleanse", "x_pdf_docs", "x_html_docs")
     def run(name: String): (Double, Int, Int) = {
       val (j0, s0) = (jobs, stages)
       val t = time {
