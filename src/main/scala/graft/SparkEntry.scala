@@ -334,6 +334,23 @@ object SparkEntry {
         $"extracted_text".as("extracted"))
     },
 
+    // the full pipeline over the CSV source (multiLine + escape +
+    // null/empty sentinels): turns staged via writeCsv, read back with
+    // the paired explicit-schema reader, extracted, and must land the
+    // identical oracle as x_transcripts — the writer/reader pair's
+    // quoting, embedded-newline and null conventions proven round-trip
+    // under the end-to-end gate (not just unit fixtures)
+    "x_csv_source" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("csv")
+      graft.sources.TranscriptSource.writeCsv(docTurns(s, dir),
+        s"$tmp/in")
+      val turns = graft.sources.TranscriptSource.csv(s, s"$tmp/in")
+      val (out, _) = Job.run(s, turns, "csv-src")
+      out.toDF().select($"conv_id", $"turn_idx", $"extractor",
+        $"extracted_text".as("extracted"))
+    },
+
     // multimodal plumbing end to end: binary payloads derived from the
     // documents table (ASCII bytes == chars, so the oracle recomputes
     // the deterministic stub codec in HUGEINT SQL), batched
@@ -386,6 +403,29 @@ object SparkEntry {
     // integer 8-band embeddings + FNV-1a content hashes, while the
     // oracle recomputes both from the synthesis formulas — a decoder
     // or writer bug on either side breaks the match
+    // content-based media dedup over MEDIA-2: every 3rd doc gets a
+    // BYTE-DISTINCT twin whose decoded content is identical (reserved
+    // header / sample-rate fields differ — fields outside the content
+    // hash). Raw-byte dedup (md5 of the file) cannot find these twins;
+    // dedup over the DECODED content hash must — the real-decode
+    // milestone feeding the media-similarity path
+    "t_media_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long]
+        .flatMap { id =>
+          val base = graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContentContainer(id))
+          if (id % 3 == 0)
+            Seq(base, graft.ops.Multimodal.MediaRow(id + 5000000L,
+              "binary", graft.ops.Multimodal.synthContentTwin(id)))
+          else Seq(base)
+        }
+      val w = Window.partitionBy($"content_hash")
+      graft.ops.Multimodal.extractFeatures(s, media).toDF()
+        .select($"media_id", $"content_hash")
+        .withColumn("is_dup", count(lit(1)).over(w) > 1)
+    },
+
     "t_media_content" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long]
@@ -1056,6 +1096,9 @@ object SparkEntry {
     // the JSONL ingestion path must land it too
     "x_jsonl_source" -> transcriptsSql,
 
+    // and the CSV ingestion path
+    "x_csv_source" -> transcriptsSql,
+
     // batch mirror of the streaming windowed rollup: docTurns stamps
     // doc_id as epoch second 86400 + doc_id, so the 1-minute window
     // start is the epoch floor; extraction errors are zero on the
@@ -1109,6 +1152,8 @@ object SparkEntry {
         "END)::INT AS n_frames FROM documents"),
 
     "t_media_content" -> mediaContentOracleSql,
+
+    "t_media_dedup" -> mediaDedupOracleSql,
 
     // mirrors frameSample(every=2, maxFrames=8, target=64) over the
     // synthesis formulas: per media, indices 0,2,... below the frame
@@ -1495,29 +1540,66 @@ object SparkEntry {
     * in mod-2^64 HUGEINT arithmetic (the established t_multimodal
     * mirror).
     */
+  private val fnv = (vals: String) =>
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $vals)" +
+      ", (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % " +
+      "18446744073709551616::HUGEINT)"
+  private val toSigned = (h: String) =>
+    s"(CASE WHEN $h >= 9223372036854775808::HUGEINT " +
+      s"THEN $h - 18446744073709551616::HUGEINT ELSE $h END)::BIGINT"
+  // per-pixel integer luma as a function of flat index i (y=i//w,
+  // x=i%w) and the MEDIA-2 channel formulas
+  private val luma =
+    "((299*((doc_id + 3*(i%w) + 7*(i//w)) % 256) + " +
+      "587*((2*doc_id + 5*(i%w) + (i//w)) % 256) + " +
+      "114*((3*doc_id + (i%w) + 11*(i//w)) % 256)) // 1000)"
+  // wav sample s_i and its unsigned LE byte pair
+  private val samp = "(((doc_id*31 + i*17) % 2001) - 1000)"
+  private val usamp =
+    s"(CASE WHEN $samp < 0 THEN $samp + 65536 ELSE $samp END)"
+
+  /** Shared MEDIA-2 hash CTE chain: yields table mc(doc_id, hh) with
+    * the content hash (HUGEINT) of every doc's synthesized container.
+    */
+  private lazy val mediaHashCtes: String =
+    "bm AS (SELECT doc_id, 4 + doc_id % 13 AS w, " +
+      "4 + doc_id % 11 AS h FROM documents WHERE doc_id % 2 = 0), " +
+      "bi AS (SELECT *, generate_series(0, (w*h - 1)::BIGINT) AS idx " +
+      "FROM bm), " +
+      "bh2 AS (SELECT doc_id, " +
+      fnv(s"list_transform(idx, i -> $luma::HUGEINT)") + " AS hh " +
+      "FROM bi), " +
+      "wm AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents " +
+      "WHERE doc_id % 2 = 1), " +
+      "wi AS (SELECT *, generate_series(0, (n - 1)::BIGINT) AS idx " +
+      "FROM wm), " +
+      "wh2 AS (SELECT doc_id, " +
+      fnv("flatten(list_transform(idx, i -> " +
+        s"[($usamp % 256)::HUGEINT, ($usamp // 256)::HUGEINT]))") +
+      " AS hh FROM wi), " +
+      "mc AS (SELECT doc_id, hh FROM bh2 " +
+      "UNION ALL SELECT doc_id, hh FROM wh2)"
+
+  /** MEDIA-2 dedup oracle: twins (every 3rd doc, byte-distinct headers)
+    * share their base's decoded-content hash, so is_dup is true exactly
+    * for the twinned ids; computed by a window count over the
+    * formula-recomputed hashes.
+    */
+  private lazy val mediaDedupOracleSql: String =
+    s"WITH $mediaHashCtes, " +
+      "allm AS (SELECT doc_id AS media_id, hh FROM mc " +
+      "UNION ALL SELECT doc_id + 5000000, hh FROM mc " +
+      "WHERE doc_id % 3 = 0) " +
+      "SELECT media_id, " + toSigned("hh") + " AS content_hash, " +
+      "count(*) OVER (PARTITION BY hh) > 1 AS is_dup FROM allm"
+
   private lazy val mediaContentOracleSql: String = {
-    val fnv = (vals: String) =>
-      s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $vals)" +
-        ", (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % " +
-        "18446744073709551616::HUGEINT)"
-    val toSigned = (h: String) =>
-      s"(CASE WHEN $h >= 9223372036854775808::HUGEINT " +
-        s"THEN $h - 18446744073709551616::HUGEINT ELSE $h END)::BIGINT"
-    // per-pixel integer luma as a function of flat index i (y=i//w,
-    // x=i%w) and the channel formulas
-    val luma =
-      "((299*((doc_id + 3*(i%w) + 7*(i//w)) % 256) + " +
-        "587*((2*doc_id + 5*(i%w) + (i//w)) % 256) + " +
-        "114*((3*doc_id + (i%w) + 11*(i//w)) % 256)) // 1000)"
     val bmpBands = (0 until 8).map { d =>
       val sel = s"list_filter(idx, i -> (i//w)*8//h = $d)"
       s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +
         s"list_sum(list_transform($sel, i -> $luma))::BIGINT // " +
         s"len($sel) END)::BIGINT AS e$d"
     }.mkString(", ")
-    // wav sample s_i and its unsigned LE byte pair
-    val samp = "(((doc_id*31 + i*17) % 2001) - 1000)"
-    val usamp = s"(CASE WHEN $samp < 0 THEN $samp + 65536 ELSE $samp END)"
     val wavBands = (0 until 8).map { d =>
       val sel = s"list_filter(idx, i -> i*8//n = $d)"
       s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +

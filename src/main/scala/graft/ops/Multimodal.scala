@@ -455,6 +455,27 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A BYTE-DISTINCT twin of synthContentContainer(id) with IDENTICAL
+    * decoded content: BMP twins differ in the reserved header words,
+    * WAV twins in the fmt sampleRate/byteRate fields — none of which
+    * enter the MEDIA-2 content hash or embedding. Raw-byte dedup
+    * (md5 over the file) misses these; content-based dedup must catch
+    * them.
+    */
+  def synthContentTwin(id: Long): Array[Byte] = {
+    val b = synthContentContainer(id)
+    if (id % 2 == 0) {
+      b(6) = 0xAB.toByte; b(7) = 0xCD.toByte // BMP reserved words
+      b(8) = 0xEF.toByte; b(9) = 0x01.toByte
+    } else {
+      b(24) = 0xA0.toByte; b(25) = 0x0F.toByte // sampleRate -> 4000 Hz
+      b(26) = 0; b(27) = 0
+      b(28) = 0x40.toByte; b(29) = 0x1F.toByte // byteRate -> 8000 B/s
+      b(30) = 0; b(31) = 0
+    }
+    b
+  }
+
   /** A sampled frame reference with stub-resized dimensions. */
   case class FrameRef(media_id: Long, frame_idx: Int, rw: Int, rh: Int)
 

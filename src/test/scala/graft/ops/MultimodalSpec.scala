@@ -159,6 +159,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MEDIA-2: byte-distinct twins decode to identical content " +
+    "(the case raw-byte dedup misses)") {
+    for (id <- Seq(0L, 3L, 6L, 9L)) { // both parities among multiples of 3
+      val base = Multimodal.synthContentContainer(id)
+      val twin = Multimodal.synthContentTwin(id)
+      assert(!java.util.Arrays.equals(base, twin), id) // md5 would differ
+      val dec = (b: Array[Byte]) =>
+        if (id % 2 == 0) Multimodal.decodeBmpContent(b)
+        else Multimodal.decodeWavContent(b)
+      assert(dec(base) == dec(twin), id) // content hash+embedding equal
+      assert(dec(base).nonEmpty, id)
+    }
+  }
+
   test("MEDIA-2 content decoders never throw on hostile bytes (fuzz)") {
     val r = new java.util.Random(7)
     for (_ <- 0 until 2000) {
