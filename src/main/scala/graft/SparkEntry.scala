@@ -849,6 +849,21 @@ object SparkEntry {
         qualityScore($"text").as("quality"))
     },
 
+    // LSHAPE-1 line-shape corpus filters (bullet / ellipsis / symbol
+    // ratios); deterministic multi-line fixtures appended so every
+    // branch fires regardless of the documents-table contents
+    "t_line_shape" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ops.TextStats._
+      val fixtures = s.createDataset(lineShapeFixtures)
+        .toDF("doc_id", "text")
+      docs(s, dir).select($"doc_id", $"text").union(fixtures)
+        .select($"doc_id",
+          bulletRatio($"text").as("bullet_ratio"),
+          ellipsisRatio($"text").as("ellipsis_ratio"),
+          symbolWordRatio($"text").as("symbol_ratio"))
+    },
+
     "t_fingerprint" -> { (s, dir) =>
       import s.implicits._
       docs(s, dir).select($"doc_id",
@@ -914,6 +929,18 @@ object SparkEntry {
     9000015L -> "αυτό είναι ελληνικό κείμενο",
     9000016L -> "यह परीक्षण के लिए हिंदी पाठ है",
     9000017L -> "นี่คือข้อความภาษาไทย")
+
+  /** LSHAPE-1 fixture docs appended by t_line_shape (mirrored into the
+    * oracle as VALUES from this same list): bullet pages, ellipsis
+    * lines, hash/ellipsis symbol noise, and the empty string.
+    */
+  private val lineShapeFixtures: Seq[(Long, String)] = Seq(
+    9100001L -> "- first bullet\n- second bullet\n- third bullet",
+    9100002L -> ("intro line\n* starred item\n  • indented bullet\n" +
+      "plain end"),
+    9100003L -> "to be continued...\nand then…\nthe end",
+    9100004L -> "# heading\nsome ### hashes and ... dots .....",
+    9100005L -> "")
 
   /** Twin corpus shared by t_corpus_cleanse / t_cleanse_ledger (docs
     * plus one near-dup tail twin per doc).
@@ -1479,6 +1506,8 @@ object SparkEntry {
         "len(string_split(text, ' ')), 4) AS uniq_ratio, " +
         s"round(${qualSql("text")}, 2) AS quality FROM documents"),
 
+    "t_line_shape" -> lineShapeOracleSql,
+
     "t_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
         "list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), " +
@@ -1647,6 +1676,28 @@ object SparkEntry {
       s"len(string_split($chain, '||')))), 0)::BIGINT " +
       "AS n_bpe_tokens, '237bd1c3f643e1f4d049297819a74a39aae84222" +
       "0b8d8b4c1a190fa39c904578' AS bpe_hash FROM w"
+  }
+
+  /** LSHAPE-1 oracle: fixtures mirrored as VALUES; ratios recomputed
+    * with the same line/word conventions ('\n' lines, whitespace
+    * words floored at 1, non-overlapping "..." count via replace).
+    */
+  private lazy val lineShapeOracleSql: String = {
+    val fixtures = lineShapeFixtures
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    "WITH src AS (SELECT doc_id, text FROM documents UNION ALL " +
+      s"SELECT * FROM (VALUES $fixtures) fx(doc_id, text)), " +
+      "t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls, " +
+      "greatest(len(list_filter(string_split(text, ' '), " +
+      "x -> x <> '')), 1) AS nw FROM src) " +
+      "SELECT doc_id, " +
+      "round(len(list_filter(ls, l -> regexp_matches(ltrim(l), " +
+      "'^[-*•]'))) * 1.0 / len(ls), 4) AS bullet_ratio, " +
+      "round(len(list_filter(ls, l -> regexp_matches(l, " +
+      "'(\\.\\.\\.|…)$'))) * 1.0 / len(ls), 4) AS ellipsis_ratio, " +
+      "round(((length(text) - length(replace(text, '#', ''))) + " +
+      "(length(text) - length(replace(text, '...', ''))) // 3) " +
+      "* 1.0 / nw, 4) AS symbol_ratio FROM t"
   }
 
   private lazy val langIdOracleSql: String = {

@@ -125,6 +125,78 @@ object MediaMetaOps {
   }
 }
 
+/** MEDIA-2 content decode as a native expression: real BMP-pixel /
+  * WAV-PCM content hash + 8-band embedding from a binary column; null
+  * for formats without a real content decoder (the codec stub is a
+  * Dataset-API concern — SQL users get an honest null, not fiction).
+  */
+object MediaContentOps {
+
+  val sparkDataType: DataType = StructType(Seq(
+    StructField("content_hash", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  def eval(payload: Array[Byte]): InternalRow = {
+    val decoded = graft.ops.Multimodal.parseContainerHeader(payload)
+      .flatMap {
+        case ("bmp", _, _, _) =>
+          graft.ops.Multimodal.decodeBmpContent(payload)
+        case ("wav", _, _, _) =>
+          graft.ops.Multimodal.decodeWavContent(payload)
+        case _ => None
+      }
+    decoded match {
+      case Some((hash, emb)) =>
+        InternalRow(hash,
+          new GenericArrayData(emb.map(f => f: Any).toArray))
+      case None => null
+    }
+  }
+}
+
+case class MediaContent(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaContentOps.sparkDataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_media_content"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"graft_media_content requires a BINARY " +
+          s"argument, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaContentOps.eval(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    val code =
+      code"""
+        ${c.code}
+        $rowCls ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.MediaContentOps.eval(${c.value});
+        }
+        boolean ${ev.isNull} = ${ev.value} == null;
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class MediaMeta(child: Expression) extends UnaryExpression {
 
   // reject graft_media_meta(non_binary) at analysis time (a clean
@@ -234,6 +306,14 @@ object GraftOpFunctions {
       cs => graft.ops.Bpe.tokenCount(cs.head)),
     reg("graft_cosine", 2,
       cs => graft.ops.Ann.cosine(cs(0), cs(1))),
+    (FunctionIdentifier("graft_media_content"),
+      new ExpressionInfo(classOf[MediaContent].getName,
+        "graft_media_content"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_media_content takes 1 argument, got ${exprs.length}")
+        MediaContent(exprs.head)
+      }),
     (FunctionIdentifier("graft_media_meta"),
       new ExpressionInfo(classOf[MediaMeta].getName, "graft_media_meta"),
       (exprs: Seq[Expression]) => {

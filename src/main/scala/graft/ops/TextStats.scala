@@ -116,6 +116,36 @@ object TextStats {
         (n - 1).cast("double")), 4)
   }
 
+  /** LSHAPE-1 (frozen, oracle-mirrored) line-shape corpus filters —
+    * the document-structure slice of the Gopher rules (Rae et al. 2021
+    * table A1, public knowledge): a page that is >90% bullet lines or
+    * >30% ellipsis-terminated lines, or whose symbol-to-word ratio
+    * exceeds 0.1, is boilerplate/low-quality. Pure codegen'd
+    * built-ins; '\n'-split lines; all ratios rounded to 4 decimals.
+    */
+  def bulletRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("double") / size(lines), 4)
+  }
+
+  def ellipsisRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+      .cast("double") / size(lines), 4)
+  }
+
+  /** (# chars + "..." occurrences) / word count, floored-at-1 words. */
+  def symbolWordRatio(text: Column): Column = {
+    val nw = greatest(size(filter(split(text, " "), t => t =!= lit(""))),
+      lit(1))
+    val hashes = length(text) -
+      length(call_function("replace", text, lit("#"), lit("")))
+    val ell = (length(text) -
+      length(call_function("replace", text, lit("..."), lit("")))) / 3
+    round((hashes + ell).cast("double") / nw, 4)
+  }
+
   /** SAMPLE-1 deterministic sampling predicate: keep a row iff the
     * first byte of md5(key-as-string) is below `hexBound` (two lowercase
     * hex chars; "1a" keeps 26/256 ~ 10.2%). Stable across engines,

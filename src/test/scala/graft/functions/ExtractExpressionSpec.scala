@@ -104,6 +104,36 @@ class ExtractExpressionSpec extends AnyFunSuite {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("graft_media_content decodes real BMP/WAV content; null for " +
+    "undecodable formats") {
+    val s = spark
+    GraftOpFunctions.register(s)
+    import s.implicits._
+    import graft.ops.Multimodal
+    s.range(6).map(id => (id, Multimodal.synthContentContainer(id)))
+      .toDF("id", "payload").createOrReplaceTempView("mc_v")
+    val rows = s.sql(
+      """SELECT id, graft_media_content(payload).content_hash AS h,
+               size(graft_media_content(payload).embedding) AS d
+         FROM mc_v ORDER BY id""").collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val exp =
+        if (id % 2 == 0) Multimodal.decodeBmpContent(
+          Multimodal.synthContentContainer(id)).get._1
+        else Multimodal.decodeWavContent(
+          Multimodal.synthContentContainer(id)).get._1
+      assert(r.getLong(1) == exp, id)
+      assert(r.getInt(2) == 8, id)
+    }
+    // a png (no real content decoder) yields an honest null
+    val pngRow = Seq(Tuple1(Multimodal.synthContainer(0L))) // id 0 = png
+      .toDF("p")
+    pngRow.createOrReplaceTempView("mc_png")
+    assert(s.sql("SELECT graft_media_content(p) FROM mc_png")
+      .collect()(0).isNullAt(0))
+  }
+
   test("graft_media_meta(non_binary) is rejected at analysis time") {
     val s = spark
     GraftOpFunctions.register(s)

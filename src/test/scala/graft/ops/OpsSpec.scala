@@ -408,6 +408,28 @@ class AnnSpec extends AnyFunSuite {
 class TextStatsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("LSHAPE-1 line-shape ratios (hand-computed)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "- a\n- b\n- c"), // 3/3 bullets
+      (2L, "x\n* y\n  • z"), // 2/3 bullets (ltrim'd)
+      (3L, "wait...\nfin…\nend"), // 2/3 ellipsis lines
+      (4L, "# one ### and ... also ....."), // 4 hashes + 2 '...' / 7 words
+      (5L, "")) // single empty line, zero everywhere
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextStats.bulletRatio($"text").as("b"),
+      TextStats.ellipsisRatio($"text").as("e"),
+      TextStats.symbolWordRatio($"text").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1.0, 0.0, 0.0)))
+    assert(out(2L)._1 == 0.6667)
+    assert(out(3L)._2 == 0.6667)
+    assert(out(4L)._3 == 0.8571) // (4 + 2) / 7 words
+    assert(out(5L) == ((0.0, 0.0, 0.0)))
+  }
+
   test("token stats and quality bands") {
     import spark.implicits._
     val df = Seq(
