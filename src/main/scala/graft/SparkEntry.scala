@@ -334,6 +334,49 @@ object SparkEntry {
         $"extracted_text".as("extracted"))
     },
 
+    // custom-state streaming (flatMapGroupsWithState): per-user
+    // sessionization of the events table with an explicit state
+    // machine + event-time timeouts; the streaming output must equal
+    // the batch q_sessionize oracle exactly. Same staging mechanics as
+    // x_streaming_stats: one micro-batch (no cross-batch disorder), a
+    // sentinel row pushes the final watermark so every group's timeout
+    // fires and emits its summary in the no-data batch.
+    "x_streaming_sessions" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingJob
+      val tmp = scratchDir("sess")
+      // the source table stores TIMESTAMP_NTZ; cast to TimestampType
+      // (session UTC) up front so the staged files, the sentinel row
+      // and the stream schema all agree on one timestamp type
+      tbl(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val maxSec = s.read.parquet(s"$tmp/in")
+        .agg(max(unix_timestamp($"ts"))).collect()(0).getLong(0)
+      s.createDataset(Seq(StreamingJob.EventRow(-1L,
+        new java.sql.Timestamp((maxSec + 3600L) * 1000),
+        -1L, "sentinel", 0.0, "")))
+        .toDF().write.mode("append").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema(s.createDataset(Seq.empty[StreamingJob.EventRow]).schema)
+        .option("maxFilesPerTrigger", 100000)
+        .parquet(s"$tmp/in")
+        .as[StreamingJob.EventRow]
+      StreamingJob.sessionize(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      dropStreamStaging(tmp)
+      s.read.parquet(s"$tmp/out")
+        .filter($"user_id" =!= -1L)
+        .select($"user_id", $"n_sessions", $"n_events")
+    },
+
     // the full pipeline over the CSV source (multiLine + escape +
     // null/empty sentinels): turns staged via writeCsv, read back with
     // the paired explicit-schema reader, extracted, and must land the
@@ -1125,6 +1168,17 @@ object SparkEntry {
 
     // and the CSV ingestion path
     "x_csv_source" -> transcriptsSql,
+
+    // custom-state streaming sessionization must reproduce the batch
+    // sessionization oracle exactly (same gap rule, same ordering)
+    "x_streaming_sessions" ->
+      ("SELECT user_id, sum(gap)::BIGINT AS n_sessions, " +
+        "count(*) AS n_events " +
+        "FROM (SELECT user_id, CASE WHEN prev_ts IS NULL THEN 1 " +
+        "WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS gap " +
+        "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts, event_id FROM events)) " +
+        "GROUP BY 1"),
 
     // batch mirror of the streaming windowed rollup: docTurns stamps
     // doc_id as epoch second 86400 + doc_id, so the 1-minute window

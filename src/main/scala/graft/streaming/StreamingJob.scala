@@ -82,6 +82,66 @@ object StreamingJob {
         sum($"is_error").as("n_errors"))
   }
 
+  /** Custom-state streaming (flatMapGroupsWithState): per-user
+    * sessionization of an event stream with an explicit state machine —
+    * the operator family for semantics the built-in windowed/dedupe
+    * state cannot express. State per user: (event count, session
+    * count, last event second); a new session opens when the event-time
+    * gap exceeds `gapSec` (the same rule as the batch q_sessionize
+    * query, whose oracle the streaming output must reproduce).
+    * Summaries are emitted via EVENT-TIME TIMEOUT: each update arms the
+    * group's timeout just past its last event, so the group emits once
+    * the watermark passes it — bounded state, deterministic final
+    * output under AvailableNow (a sentinel row advances the final
+    * watermark, the no-data batch fires the timeouts).
+    *
+    * Batch-equivalence contract: rows must arrive in event-time order
+    * ACROSS micro-batches (within a batch they are sorted here); the
+    * staged single-batch replay guarantees it, and a production stream
+    * holds it to within the watermark delay by construction of the
+    * upstream log. Seconds use floor(millis/1000) — the same value
+    * unix_timestamp() yields in the batch query.
+    */
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+
+  case class SessionSummary(user_id: Long, n_sessions: Long,
+      n_events: Long)
+
+  case class SessionState(nEvents: Long, nSessions: Long, lastSec: Long)
+
+  def sessionize(events: Dataset[EventRow], gapSec: Long = 1800,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[EventRow],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(user, s.nSessions, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption
+              .getOrElse(SessionState(0L, 0L, Long.MinValue))
+            for (e <- sorted) {
+              val sec = Math.floorDiv(e.ts.getTime, 1000L)
+              val newSession = s.nEvents == 0L || sec - s.lastSec > gapSec
+              s = SessionState(s.nEvents + 1,
+                s.nSessions + (if (newSession) 1L else 0L), sec)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastSec * 1000L + 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Read a parquet directory as a stream of turns. */
   def readTurnStream(spark: SparkSession, inputDir: String,
       maxFilesPerTrigger: Int = 8): Dataset[Turn] = {
