@@ -394,6 +394,24 @@ object SparkEntry {
         $"extracted_text".as("extracted"))
     },
 
+    // partitioned parquet sink + partition-pruned read-back: documents
+    // land partitioned by lang (the layout a 100 TB corpus store uses
+    // so per-language jobs touch only their directories), then the
+    // read-back filters to two langs — the filter must resolve at the
+    // PARTITION level (directory pruning, no data read for other
+    // langs; PlanSpec asserts the pruned read). The rollup aggregates
+    // a long column so the compare is exact under parallel summation.
+    "x_partitioned_sink" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("psink")
+      docs(s, dir).write.mode("overwrite").partitionBy("lang")
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .filter($"lang".isin("en", "zh"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+    },
+
     // multimodal plumbing end to end: binary payloads derived from the
     // documents table (ASCII bytes == chars, so the oracle recomputes
     // the deterministic stub codec in HUGEINT SQL), batched
@@ -662,7 +680,137 @@ object SparkEntry {
         .agg(sum($"gap").as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    // hierarchical aggregation in one pass: rollup emits (flag,
+    // status), (flag, ALL) and (ALL, ALL) grouping sets from a single
+    // shuffle — at 100 TB this replaces three separate scans+shuffles
+    // of the fact table with one
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
+    },
+
+    // pivot with EXPLICIT values (the implicit form runs a separate
+    // distinct pass over the fact table to discover columns — at scale
+    // the value list must be declared); null cells zero-filled so the
+    // wide row is total-count complete
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+    },
+
+    // as-of join (the time-series join Spark lacks as a primitive):
+    // for each purchase, the latest view by the same user at-or-before
+    // its timestamp. Implemented the scale-safe way — union both sides
+    // tagged, ONE sort-shuffle per user, last_value(ignore nulls) over
+    // a running window — instead of a per-row range join (which plans
+    // as a broadcast-nested-loop / O(n*m) per key). The oracle is
+    // DuckDB's NATIVE ASOF JOIN, an entirely independent algorithm.
+    // At equal timestamps the view sorts BEFORE the purchase (side 0
+    // < 1), giving the >= as-of semantics; the events table has no
+    // (user_id, ts) duplicates, so the match is deterministic.
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id".as("view_id"),
+          lit(null).cast("long").as("purchase_id"), lit(0).as("side"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(null).cast("long").as("view_id"),
+          $"event_id".as("purchase_id"), lit(1).as("side"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"side".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("asof_view_id",
+          last($"view_id", ignoreNulls = true).over(w))
+        .filter($"purchase_id".isNotNull)
+        .select($"purchase_id", $"user_id", $"asof_view_id")
+    },
+
+    // skew-mitigated join via explicit salting: the fact side is given
+    // a deliberately skewed key (two thirds of all events collapse to
+    // key 0 — the hot-entity shape of any web corpus); a plain
+    // shuffle join would put every key-0 row in ONE task. The dim side
+    // is exploded x16 (one copy per salt), the fact side salted by
+    // xxhash64(event_id) % 16, and the join runs on (key, salt) — the
+    // hot key's rows spread over 16 tasks while results stay exactly
+    // the plain join's. AQE skew-join handles sort-merge cases at
+    // runtime; explicit salting is the declarative form that also
+    // covers aggregations and survives AQE being disabled. The
+    // revenue sum uses a per-row integer encoding (floor of cents) so
+    // parallel summation is associative and the DuckDB compare exact.
+    "q_skew_salted" -> { (s, dir) =>
+      import s.implicits._
+      val nSalts = 16
+      val fact = tbl(s, dir, "events")
+        .withColumn("k",
+          when($"user_id" < 100, 0L).otherwise($"user_id"))
+        .withColumn("salt", pmod(xxhash64($"event_id"), lit(nSalts)))
+        .withColumn("cents", floor($"value" * 100).cast("long"))
+      val dim = tbl(s, dir, "customer").filter($"c_custkey" < 150)
+        .select($"c_custkey".as("k"), $"c_mktsegment")
+        .withColumn("salt",
+          explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+      // shuffle_hash hint: at this SF the exploded dim would
+      // broadcast (making the salt moot); at the 100 TB shape the
+      // dim is too big to broadcast and the join shuffles — the hint
+      // pins the plan the technique exists for
+      fact.join(dim.hint("shuffle_hash"), Seq("k", "salt"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    },
+
     // ===== training-data ops =====
+
+    // histogram-quantile sketch: exact percentiles need a full sort of
+    // every group's rows; binning first means the shuffle carries at
+    // most |bins| cells per group (here <= 491) no matter how many
+    // rows feed them — the 100 TB quantile pattern. Quantile selection
+    // is INTEGER-ONLY (cum*2 >= total, cum*20 >= 19*total) so the
+    // DuckDB compare is exact.
+    "t_quantile_hist" -> { (s, dir) =>
+      import s.implicits._
+      val binned = tbl(s, dir, "events")
+        .select($"event_type", floor($"value").cast("long").as("bin"))
+        .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy($"event_type").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy($"event_type")
+      binned
+        .withColumn("cum", sum($"c").over(run))
+        .withColumn("total", sum($"c").over(all))
+        .groupBy($"event_type")
+        .agg(
+          min(when($"cum" * 2 >= $"total", $"bin")).as("p50_bin"),
+          min(when($"cum" * 20 >= $"total" * 19, $"bin")).as("p95_bin"),
+          max($"total").as("n"))
+    },
+
+    // bounded-state distinct sketch: KMV (k smallest distinct mix64
+    // hashes, k=256) per group, as a native TypedImperativeAggregate —
+    // O(k) state per group regardless of group size, partials merge
+    // map-side, and the integer-only estimator is reproduced bit for
+    // bit by the DuckDB oracle (SplitMix64 in HUGEINT + the same
+    // ((k-1)<<64)/h_k floor division). The exact count rides along so
+    // the sketch's error is visible in the verified output.
+    "t_kmv_distinct" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          graft.functions.KmvDistinct
+            .kmvDistinct($"l_partkey", 256).as("est_distinct"),
+          countDistinct($"l_partkey").as("exact_distinct"))
+    },
+
     "t_tokens" -> { (s, dir) =>
       import s.implicits._
       docs(s, dir).select($"doc_id",
@@ -1334,6 +1482,85 @@ object SparkEntry {
         "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id) AS prev_ts, event_id FROM events)) " +
         "GROUP BY 1"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    // conditional aggregation: the pivot must equal the long-form
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)" +
+        "::BIGINT AS click, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)" +
+        "::BIGINT AS \"view\", " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)" +
+        "::BIGINT AS purchase, " +
+        "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)" +
+        "::BIGINT AS signup, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)" +
+        "::BIGINT AS error " +
+        "FROM events GROUP BY 1"),
+
+    // same integer-only histogram-quantile selection
+    "t_quantile_hist" ->
+      ("WITH b AS (SELECT event_type, floor(value)::BIGINT AS bin, " +
+        "count(*) AS c FROM events GROUP BY 1, 2), " +
+        "cw AS (SELECT event_type, bin, c, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY bin " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type) AS total FROM b) " +
+        "SELECT event_type, " +
+        "min(CASE WHEN cum * 2 >= total THEN bin END)::BIGINT " +
+        "AS p50_bin, " +
+        "min(CASE WHEN cum * 20 >= total * 19 THEN bin END)::BIGINT " +
+        "AS p95_bin, max(total)::BIGINT AS n FROM cw GROUP BY 1"),
+
+    // independent algorithm on the oracle side: DuckDB's native ASOF
+    // JOIN vs Spark's union+sorted-window implementation
+    "q_asof_join" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id, " +
+        "v.event_id AS asof_view_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN " +
+        "(SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts"),
+
+    // direct aggregate over the raw table: the partitioned write +
+    // pruned read-back must be lossless
+    "x_partitioned_sink" ->
+      ("SELECT lang, source, count(*) AS n, " +
+        "sum(n_chars)::BIGINT AS chars FROM documents " +
+        "WHERE lang IN ('en', 'zh') GROUP BY 1, 2"),
+
+    // plain (unsalted) join: salting must not change results
+    "q_skew_salted" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "sum(floor(value * 100)::BIGINT)::BIGINT AS cents " +
+        "FROM events JOIN (SELECT * FROM customer WHERE c_custkey < 150) " +
+        "ON (CASE WHEN user_id < 100 THEN 0 ELSE user_id END) " +
+        "= c_custkey GROUP BY 1"),
+
+    // exact HUGEINT mirror of the KMV sketch: same mix64 chain, same
+    // k-th-smallest selection, same integer floor-division estimator
+    "t_kmv_distinct" ->
+      ("WITH h0 AS (SELECT DISTINCT l_returnflag AS grp, " +
+        graft.functions.KmvDistinct.mix64Sql("l_partkey") +
+        " AS h FROM lineitem), " +
+        "rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY h) AS r FROM h0), " +
+        "st AS (SELECT grp, count(*) AS nd, " +
+        "max(CASE WHEN r = 256 THEN h END) AS kth FROM rk GROUP BY 1), " +
+        "ex AS (SELECT l_returnflag AS grp, " +
+        "count(DISTINCT l_partkey) AS exact_distinct " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT st.grp AS l_returnflag, " +
+        "(CASE WHEN nd < 256 THEN nd::HUGEINT " +
+        "ELSE (255::HUGEINT * 18446744073709551616::HUGEINT) // kth " +
+        "END)::BIGINT AS est_distinct, " +
+        "ex.exact_distinct::BIGINT AS exact_distinct " +
+        "FROM st JOIN ex ON st.grp = ex.grp"),
 
     "t_tokens" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +

@@ -306,6 +306,20 @@ object GraftOpFunctions {
       cs => graft.ops.Bpe.tokenCount(cs.head)),
     reg("graft_cosine", 2,
       cs => graft.ops.Ann.cosine(cs(0), cs(1))),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName,
+        "graft_kmv_distinct"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_kmv_distinct(col, k) takes 2 arguments, " +
+            s"got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_kmv_distinct: k must be a literal")
+        // the analyzer wraps a bare AggregateFunction in
+        // AggregateExpression, as for built-in aggregates
+        KmvDistinct(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue)
+      }),
     (FunctionIdentifier("graft_media_content"),
       new ExpressionInfo(classOf[MediaContent].getName,
         "graft_media_content"),

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.ops.MinHashDedup
+import graft.pipe.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KmvSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Reference estimate computed directly from the definition. */
+  private def refEstimate(values: Seq[Long], k: Int): Long = {
+    val hashes = values.map(MinHashDedup.mix64).distinct
+      .sorted(Ordering.fromLessThan[Long](
+        java.lang.Long.compareUnsigned(_, _) < 0))
+    if (hashes.length < k) hashes.length.toLong
+    else {
+      val kth = BigInt(hashes(k - 1)) & ((BigInt(1) << 64) - 1)
+      ((BigInt(k - 1) << 64) / kth).toLong
+    }
+  }
+
+  test("exact branch: below k the sketch IS the distinct count") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).flatMap(i => Seq(i % 40, i % 40)).toDF("v")
+    val got = df.agg(KmvDistinct.kmvDistinct($"v", 256).as("d"))
+      .collect()(0).getLong(0)
+    assert(got == 40L)
+  }
+
+  test("estimator branch matches the definitional reference and is " +
+    "within ~4/sqrt(k) of truth") {
+    val s = spark
+    import s.implicits._
+    val n = 5000L
+    val values = (1L to n).map(_ * 7919L)
+    val k = 256
+    val got = values.toDF("v").repartition(8)
+      .agg(KmvDistinct.kmvDistinct($"v", k).as("d"))
+      .collect()(0).getLong(0)
+    assert(got == refEstimate(values, k), s"got $got")
+    val err = math.abs(got - n).toDouble / n
+    assert(err < 4.0 / math.sqrt(k.toDouble), s"err $err")
+  }
+
+  test("partial merge is exact: any partitioning yields the identical " +
+    "estimate (map-side combine safe)") {
+    val s = spark
+    import s.implicits._
+    val values = (1L to 3000L).map(i => i % 1000 * 31L)
+    val expected = refEstimate(values, 64)
+    for (parts <- Seq(1, 3, 13)) {
+      val got = values.toDF("v").repartition(parts)
+        .agg(KmvDistinct.kmvDistinct($"v", 64).as("d"))
+        .collect()(0).getLong(0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("grouped aggregation + SQL surface + null skipping") {
+    val s = spark
+    import s.implicits._
+    GraftOpFunctions.register(s)
+    val df = (1L to 2000L)
+      .map(i => (if (i % 2 == 0) "a" else "b", i % 300))
+      .toDF("g", "v")
+      .union(Seq(("a", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "v"))
+    df.createOrReplaceTempView("kmv_v")
+    val rows = s.sql(
+      """SELECT g, graft_kmv_distinct(v, 256) AS d FROM kmv_v
+         GROUP BY g ORDER BY g""").collect()
+    // evens 0..298 (150 values), odds 1..299 (150 values); null skipped
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 150L), ("b", 150L)))
+  }
+
+  test("wrong input type is rejected at analysis time") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception] {
+      Seq("x").toDF("v")
+        .agg(KmvDistinct.kmvDistinct($"v", 16)).collect()
+    }
+    assert(e.getMessage.contains("BIGINT") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+}

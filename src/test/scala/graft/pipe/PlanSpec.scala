@@ -156,6 +156,52 @@ class PlanSpec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import spark.implicits._
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      spark.read.parquet(s"$sf/orders.parquet")
+        .select($"o_orderkey", $"o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("graft_bkt_orders")
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("graft_bkt_lineitem")
+      // equal bucket counts on the join key: the sort-merge join reads
+      // co-located buckets directly — and the downstream groupBy on the
+      // same key inherits the partitioning — so the WHOLE plan has zero
+      // Exchange nodes (at 100 TB this is the difference between
+      // re-shuffling both fact tables per join and none)
+      val j = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_lineitem"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
+  test("salted skew join spreads the hot key across tasks") {
+    import spark.implicits._
+    // the salted plan must not broadcast (the technique exists for the
+    // non-broadcastable-dim case) and must join on BOTH k and salt, so
+    // the hot key's rows hash to nSalts distinct reducers
+    val df = SparkEntryAccess.query("q_skew_salted")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("salt"), plan)
+  }
+
   test("minhash candidate generation shuffles slim rows only") {
     import spark.implicits._
     val docs = spark.createDataset(Seq((1L, "a b c d e f g")))
