@@ -377,6 +377,39 @@ object SparkEntry {
         .select($"user_id", $"n_sessions", $"n_events")
     },
 
+    // stream-stream interval join: purchases and views read as TWO
+    // streams from the staged event log, watermarked on both sides,
+    // joined on user within a 6-hour attribution window — must equal
+    // the batch interval join exactly. Single-batch staging (see
+    // x_streaming_stats); inner-join matches emit on arrival, so no
+    // sentinel is needed.
+    "x_streaming_join" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingJob
+      val tmp = scratchDir("sjoin")
+      tbl(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      def rd(kind: String) = s.readStream
+        .schema(s.createDataset(Seq.empty[StreamingJob.EventRow]).schema)
+        .option("maxFilesPerTrigger", 100000)
+        .parquet(s"$tmp/in")
+        .as[StreamingJob.EventRow]
+        .filter($"event_type" === kind)
+      StreamingJob.intervalJoin(rd("purchase"), rd("view"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      dropStreamStaging(tmp)
+      s.read.parquet(s"$tmp/out")
+        .select($"purchase_id", $"view_id", $"user_id")
+    },
+
     // the full pipeline over the CSV source (multiLine + escape +
     // null/empty sentinels): turns staged via writeCsv, read back with
     // the paired explicit-schema reader, extracted, and must land the
@@ -485,6 +518,35 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(s, media).toDF()
         .select($"media_id", $"content_hash")
         .withColumn("is_dup", count(lit(1)).over(w) > 1)
+    },
+
+    // media-similarity retrieval END TO END: real container bytes ->
+    // MEDIA-2 content decode -> 8-band integer embeddings -> cosine
+    // top-1. Each byte-distinct twin (reserved header fields differ,
+    // decoded content identical) must retrieve exactly its partner:
+    // the oracle is the planted construction itself, so a decoder,
+    // embedding or retrieval bug anywhere in the chain breaks the
+    // match. This is the media arm of the ANN family — raw-byte
+    // hashing cannot pair these files; content embeddings must.
+    "t_media_ann" -> { (s, dir) =>
+      import s.implicits._
+      val base = docs(s, dir).select($"doc_id").as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContentContainer(id))
+        }
+      val twins = docs(s, dir).select($"doc_id").as[Long]
+        .filter(_ % 3 == 0)
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id + 5000000L, "binary",
+            graft.ops.Multimodal.synthContentTwin(id))
+        }
+      val corpus = graft.ops.Multimodal.extractFeatures(s, base).toDF()
+        .select($"media_id".as("id"), $"embedding".as("vec"))
+      val queries = graft.ops.Multimodal.extractFeatures(s, twins).toDF()
+        .select($"media_id".as("qid"), $"embedding".as("qvec"))
+      graft.ops.Ann.bruteForceTopK(s, corpus, queries, k = 1)
+        .select($"qid", $"id")
     },
 
     "t_media_content" -> { (s, dir) =>
@@ -792,6 +854,29 @@ object SparkEntry {
           min(when($"cum" * 2 >= $"total", $"bin")).as("p50_bin"),
           min(when($"cum" * 20 >= $"total" * 19, $"bin")).as("p95_bin"),
           max($"total").as("n"))
+    },
+
+    // vocabulary heavy-hitters: per-language top-5 word bigrams. The
+    // scale shape: rows collapse to (lang, bigram, count) cells in ONE
+    // hash aggregation (map-side combined — each mapper emits at most
+    // its distinct-bigram count, not its row count), and the rank
+    // window then sorts only the aggregated cells. Ties broken by
+    // bigram text so the top-k is deterministic.
+    "t_top_ngrams" -> { (s, dir) =>
+      import s.implicits._
+      val ws = filter(split($"text", " "), w => w =!= "")
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), i =>
+          concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+        .otherwise(array())
+      val cells = docs(s, dir)
+        .select($"lang", explode(bigrams).as("bg"))
+        .groupBy($"lang", $"bg").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"lang")
+        .orderBy($"c".desc, $"bg".asc)
+      cells.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"lang", $"rn", $"bg", $"c")
     },
 
     // bounded-state distinct sketch: KMV (k smallest distinct mix64
@@ -1338,6 +1423,14 @@ object SparkEntry {
         "count(*) AS n_turns, 0::BIGINT AS n_errors " +
         "FROM documents GROUP BY 1, 2"),
 
+    // batch mirror of the streaming interval join
+    "x_streaming_join" ->
+      ("SELECT p.event_id AS purchase_id, v.event_id AS view_id, " +
+        "p.user_id FROM events p JOIN events v " +
+        "ON p.user_id = v.user_id AND p.event_type = 'purchase' " +
+        "AND v.event_type = 'view' " +
+        "AND v.ts >= p.ts - INTERVAL 21600 SECOND AND v.ts <= p.ts"),
+
     // mirror of Multimodal.decodeStub: FNV-1a over the payload bytes
     // (ASCII text -> same as chars) in mod-2^64 HUGEINT arithmetic,
     // then the stub's width/height/frames/hash derivations
@@ -1381,6 +1474,13 @@ object SparkEntry {
         "END)::INT AS n_frames FROM documents"),
 
     "t_media_content" -> mediaContentOracleSql,
+
+    // the planted construction IS the expected retrieval: twin id+5e6
+    // pairs with base id (content-identical embeddings, cosine 1.0 —
+    // strictly above any non-identical 8-band integer vector)
+    "t_media_ann" ->
+      ("SELECT doc_id + 5000000 AS qid, doc_id AS id FROM documents " +
+        "WHERE doc_id % 3 = 0"),
 
     "t_media_dedup" -> mediaDedupOracleSql,
 
@@ -1541,6 +1641,17 @@ object SparkEntry {
         "FROM events JOIN (SELECT * FROM customer WHERE c_custkey < 150) " +
         "ON (CASE WHEN user_id < 100 THEN 0 ELSE user_id END) " +
         "= c_custkey GROUP BY 1"),
+
+    "t_top_ngrams" ->
+      ("WITH toks AS (SELECT lang, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "bg AS (SELECT lang, ws[i] || ' ' || ws[i+1] AS bg FROM " +
+        "(SELECT lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+        "FROM toks WHERE len(ws) >= 2)), " +
+        "cells AS (SELECT lang, bg, count(*) AS c FROM bg GROUP BY 1, 2) " +
+        "SELECT lang, rn, bg, c::BIGINT AS c FROM " +
+        "(SELECT lang, bg, c, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY c DESC, bg) AS rn FROM cells) WHERE rn <= 5"),
 
     // exact HUGEINT mirror of the KMV sketch: same mix64 chain, same
     // k-th-smallest selection, same integer floor-division estimator
@@ -1858,11 +1969,14 @@ object SparkEntry {
     s"(CASE WHEN $h >= 9223372036854775808::HUGEINT " +
       s"THEN $h - 18446744073709551616::HUGEINT ELSE $h END)::BIGINT"
   // per-pixel integer luma as a function of flat index i (y=i//w,
-  // x=i%w) and the MEDIA-2 channel formulas
+  // x=i%w) and the MEDIA-2 channel formulas incl. the nonlinear
+  // cross term q (see Multimodal.synthContentPixel)
+  private val pixQ =
+    "(((doc_id % 97 + 3) * ((i%w) + 1) * ((i//w) + 2)) % 256)"
   private val luma =
-    "((299*((doc_id + 3*(i%w) + 7*(i//w)) % 256) + " +
-      "587*((2*doc_id + 5*(i%w) + (i//w)) % 256) + " +
-      "114*((3*doc_id + (i%w) + 11*(i//w)) % 256)) // 1000)"
+    s"((299*((doc_id + 3*(i%w) + 7*(i//w) + $pixQ) % 256) + " +
+      s"587*((2*doc_id + 5*(i%w) + (i//w) + 2*$pixQ) % 256) + " +
+      s"114*((3*doc_id + (i%w) + 11*(i//w) + 3*$pixQ) % 256)) // 1000)"
   // wav sample s_i and its unsigned LE byte pair
   private val samp = "(((doc_id*31 + i*17) % 2001) - 1000)"
   private val usamp =

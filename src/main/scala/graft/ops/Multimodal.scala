@@ -397,18 +397,29 @@ object Multimodal {
 
   /** MEDIA-2 content-synthesis formulas (mirrored by the
     * t_media_content oracle): id%2==0 -> 24-bit BMP, w=4+id%13,
-    * h=4+id%11, per-pixel channels (top-down logical coords)
-    * r=(id+3x+7y)%256, g=(2id+5x+y)%256, b=(3id+x+11y)%256;
+    * h=4+id%11, per-pixel channels (top-down logical coords) with a
+    * nonlinear cross term q=((id%97+3)(x+1)(y+2))%256:
+    * r=(id+3x+7y+q)%256, g=(2id+5x+y+2q)%256, b=(3id+x+11y+3q)%256;
     * id%2==1 -> 16-bit PCM WAV with n=50+id%100 samples
     * s_i=((id*31+i*17)%2001)-1000.
+    *
+    * The cross term exists so the 8-band mean-luma embeddings are
+    * id-discriminative: with purely linear channels the per-band MEANS
+    * cancel the id terms and distinct images collide onto identical
+    * band vectors (observed: docs 58 and 432 shared
+    * [122,126,...,146,0]), which would let a media-ANN query tie.
+    * Checked over ids 0..4999: no two synthesized media have
+    * proportional band vectors.
     */
   def synthContentDims(id: Long): (Int, Int) =
     ((4 + id % 13).toInt, (4 + id % 11).toInt)
 
-  def synthContentPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
-    (((id + 3L * x + 7L * y) % 256).toInt,
-      ((2L * id + 5L * x + y) % 256).toInt,
-      ((3L * id + x + 11L * y) % 256).toInt)
+  def synthContentPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val q = ((id % 97 + 3) * (x + 1) * (y + 2)) % 256
+    (((id + 3L * x + 7L * y + q) % 256).toInt,
+      ((2L * id + 5L * x + y + 2 * q) % 256).toInt,
+      ((3L * id + x + 11L * y + 3 * q) % 256).toInt)
+  }
 
   def synthContentSamples(id: Long): Array[Int] = {
     val n = (50 + id % 100).toInt

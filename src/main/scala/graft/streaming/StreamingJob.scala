@@ -142,6 +142,38 @@ object StreamingJob {
       }
   }
 
+  /** Stream-stream inner join with an event-time interval constraint:
+    * each purchase matched to the same user's views in the preceding
+    * `windowSec` seconds (the attribution join a production event
+    * pipeline runs continuously). BOTH sides are watermarked and the
+    * join condition carries the time range — that pair is what lets
+    * the state store evict buffered rows once the watermark passes
+    * them, keeping join state bounded by (rate x window) instead of
+    * growing with the whole stream. Inner-join matches emit as soon
+    * as both sides arrive (no finalization wait), so the output under
+    * AvailableNow equals the batch interval join.
+    */
+  def intervalJoin(purchases: Dataset[EventRow],
+      views: Dataset[EventRow], windowSec: Long = 21600,
+      watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+        $"ts".as("v_ts"))
+    p.join(v,
+      $"p_user" === $"v_user" &&
+        $"v_ts" >= $"p_ts" -
+          org.apache.spark.sql.functions.expr(
+            s"INTERVAL $windowSec SECONDS") &&
+        $"v_ts" <= $"p_ts")
+      .select($"purchase_id", $"view_id", $"p_user".as("user_id"))
+  }
+
   /** Read a parquet directory as a stream of turns. */
   def readTurnStream(spark: SparkSession, inputDir: String,
       maxFilesPerTrigger: Int = 8): Dataset[Turn] = {
