@@ -258,44 +258,110 @@ object XyCut {
     }
   }
 
-  /** Largest gap in the 1D projection of intervals; None if < MinGap.
-    * Returns the cut coordinate (middle of the widest gap).
+  // comparators for the in-place array form of the cut (identical
+  // orderings to the original sortBy keys; `order` is unique per run,
+  // so the terminal sort is total and partition stability is moot)
+  private val cmpX0: java.util.Comparator[Run] =
+    (a: Run, b: Run) => java.lang.Double.compare(a.x0, b.x0)
+  private val cmpTerminal: java.util.Comparator[Run] =
+    (a: Run, b: Run) => {
+      val c1 = java.lang.Double.compare(a.y0, b.y0)
+      if (c1 != 0) c1
+      else {
+        val c2 = java.lang.Double.compare(a.x0, b.x0)
+        if (c2 != 0) c2 else Integer.compare(a.order, b.order)
+      }
+    }
+
+  /** Largest gap in the 1D projection of arr[lo,hi), which is ALREADY
+    * sorted by its start coordinate (y0 for useY, x0 otherwise) — a
+    * single linear sweep, no copy, no sort. Returns packed (cut, gap)
+    * or null if the widest gap is below minGap. Equal-start tie order
+    * cannot affect the sweep: a gap needs start > reach, and reach is
+    * already >= every processed start.
     */
-  private def widestGap(iv: Seq[(Double, Double)],
-      minGap: Double): Option[(Double, Double)] = {
-    val sortedIv = iv.sortBy(_._1)
-    var reach = sortedIv.head._2
+  private def sweepGap(arr: Array[Run], lo: Int, hi: Int,
+      useY: Boolean, minGap: Double): Array[Double] = {
+    val h0 = arr(lo)
+    var reach = if (useY) h0.y1 else h0.x1
     var best = 0.0
     var bestAt = 0.0
-    for ((lo, hi) <- sortedIv.tail) {
-      if (lo > reach) {
-        val gap = lo - reach
-        if (gap > best) { best = gap; bestAt = (reach + lo) / 2 }
+    var i = lo + 1
+    while (i < hi) {
+      val r = arr(i)
+      val s = if (useY) r.y0 else r.x0
+      val e = if (useY) r.y1 else r.x1
+      if (s > reach) {
+        val gap = s - reach
+        if (gap > best) { best = gap; bestAt = (reach + s) / 2 }
       }
-      reach = math.max(reach, hi)
+      if (e > reach) reach = e
+      i += 1
     }
-    if (best >= minGap) Some((bestAt, best)) else None
+    if (best >= minGap) Array(bestAt, best) else null
   }
 
-  /** Recursive XY-cut on one page's runs; returns reading order. */
-  def orderPage(runs: Vector[Run], depth: Int = 0): Vector[Run] = {
-    if (runs.length <= 1 || depth > 64)
-      return runs.sortBy(r => (r.y0, r.x0, r.order))
-    val yGap = widestGap(runs.map(r => (r.y0, r.y1)), MinGapY)
-    val xGap = widestGap(runs.map(r => (r.x0, r.x1)), MinGapX)
-    (yGap, xGap) match {
-      case (Some((cy, gy)), Some((cx, gx))) if gy >= gx =>
-        val (top, bot) = runs.partition(_.y1 <= cy)
-        orderPage(top, depth + 1) ++ orderPage(bot, depth + 1)
-      case (_, Some((cx, _))) =>
-        val (left, right) = runs.partition(_.x1 <= cx)
-        orderPage(left, depth + 1) ++ orderPage(right, depth + 1)
-      case (Some((cy, _)), None) =>
-        val (top, bot) = runs.partition(_.y1 <= cy)
-        orderPage(top, depth + 1) ++ orderPage(bot, depth + 1)
-      case (None, None) =>
-        runs.sortBy(r => (r.y0, r.x0, r.order))
+  /** Stable in-place partition of arr[lo,hi) by pred via scratch;
+    * returns the split point (pred-true rows first).
+    */
+  private def partitionSeg(arr: Array[Run], scratch: Array[Run],
+      lo: Int, hi: Int, pred: Run => Boolean): Int = {
+    var w = lo
+    var s = 0
+    var i = lo
+    while (i < hi) {
+      val r = arr(i)
+      if (pred(r)) { arr(w) = r; w += 1 }
+      else { scratch(s) = r; s += 1 }
+      i += 1
     }
+    System.arraycopy(scratch, 0, arr, w, s)
+    w
+  }
+
+  /** The recursion works on TWO parallel views of the same segment:
+    * `ys` sorted by (y0, x0, order) and `xs` sorted by x0. Both gap
+    * sweeps are then linear (no per-level sort), a cut stable-partitions
+    * both views (preserving each view's sort within the halves), and a
+    * terminal segment of `ys` is ALREADY in the exact
+    * (y0, x0, order) order the original sortBy produced — so terminals
+    * are no-ops and `ys` accumulates the final reading order in place.
+    */
+  private def orderSeg(ys: Array[Run], xs: Array[Run],
+      scratch: Array[Run], lo: Int, hi: Int, depth: Int): Unit = {
+    if (hi - lo <= 1 || depth > 64) return
+    val yGap = sweepGap(ys, lo, hi, useY = true, MinGapY)
+    val xGap = sweepGap(xs, lo, hi, useY = false, MinGapX)
+    if (yGap != null && (xGap == null || yGap(1) >= xGap(1))) {
+      val cy = yGap(0)
+      val mid = partitionSeg(ys, scratch, lo, hi, _.y1 <= cy)
+      partitionSeg(xs, scratch, lo, hi, _.y1 <= cy)
+      orderSeg(ys, xs, scratch, lo, mid, depth + 1)
+      orderSeg(ys, xs, scratch, mid, hi, depth + 1)
+    } else if (xGap != null) {
+      val cx = xGap(0)
+      val mid = partitionSeg(ys, scratch, lo, hi, _.x1 <= cx)
+      partitionSeg(xs, scratch, lo, hi, _.x1 <= cx)
+      orderSeg(ys, xs, scratch, lo, mid, depth + 1)
+      orderSeg(ys, xs, scratch, mid, hi, depth + 1)
+    }
+  }
+
+  /** Recursive XY-cut on one page's runs; returns reading order.
+    * Two sorts total (not two per recursion level) and zero
+    * allocations in the recursion: the original per-level tuple-Seq
+    * builds, sortBys and Vector partitions dominated pdf extraction
+    * cost (Probe5: xy-cut was ~80% of span time at 62 MB/s/core).
+    */
+  def orderPage(runs: Vector[Run], depth: Int = 0): Vector[Run] = {
+    if (runs.length <= 1) return runs
+    val ys = runs.toArray
+    java.util.Arrays.sort(ys, cmpTerminal)
+    val xs = ys.clone()
+    java.util.Arrays.sort(xs, cmpX0)
+    val scratch = new Array[Run](ys.length)
+    orderSeg(ys, xs, scratch, 0, ys.length, depth)
+    ys.toVector
   }
 
   /** Group ordered runs into lines: consecutive runs whose vertical
