@@ -530,7 +530,12 @@ object SparkEntry {
     // hashing cannot pair these files; content embeddings must.
     "t_media_ann" -> { (s, dir) =>
       import s.implicits._
-      val base = docs(s, dir).select($"doc_id").as[Long]
+      // repartition: the sf tables are single small parquet files ->
+      // one scan task, which would serialize BOTH the decode and the
+      // |corpus| x |twins| scoring on a single core (see the
+      // t_repetition note); at real scale the input has many splits
+      val base = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .map { id =>
           graft.ops.Multimodal.MediaRow(id, "binary",
             graft.ops.Multimodal.synthContentContainer(id))
@@ -545,8 +550,7 @@ object SparkEntry {
         .select($"media_id".as("id"), $"embedding".as("vec"))
       val queries = graft.ops.Multimodal.extractFeatures(s, twins).toDF()
         .select($"media_id".as("qid"), $"embedding".as("qvec"))
-      graft.ops.Ann.bruteForceTopK(s, corpus, queries, k = 1)
-        .select($"qid", $"id")
+      graft.ops.Ann.bruteForceTop1(s, corpus, queries)
     },
 
     "t_media_content" -> { (s, dir) =>

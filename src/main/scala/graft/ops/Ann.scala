@@ -44,13 +44,34 @@ object Ann {
   def bruteForceTopK(spark: SparkSession, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    // project to (qid, id, sim) BEFORE the rank window: the window
+    // exchange then moves ~24-byte rows instead of rows still carrying
+    // both embedding vectors (for |corpus| x |queries| pairs the
+    // difference is the whole shuffle)
     val scored = corpus.crossJoin(broadcast(queries))
       .filter($"id" =!= $"qid")
-      .withColumn("sim", cosine($"qvec", $"vec"))
+      .select($"qid", $"id", cosine($"qvec", $"vec").as("sim"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"qid", $"rank", $"id")
+  }
+
+  /** Exact top-1 as an AGGREGATION instead of a rank window: max_by
+    * over (sim, -id) gets the same (sim desc, id asc) winner with
+    * map-side partial combine — the shuffle carries one row per
+    * (query, mapper) rather than every scored pair. For k=1 retrieval
+    * at scale this replaces the full pair-set sort exchange.
+    */
+  def bruteForceTop1(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    corpus.crossJoin(broadcast(queries))
+      .filter($"id" =!= $"qid")
+      .select($"qid", $"id", cosine($"qvec", $"vec").as("sim"))
+      .groupBy($"qid")
+      .agg(max_by($"id",
+        struct($"sim", (-$"id").cast("double"))).as("id"))
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim, N(0,1)-ish via
