@@ -334,6 +334,39 @@ object SparkEntry {
         $"extracted_text".as("extracted"))
     },
 
+    // lenient bulk-load: the staged JSONL is salted with 9
+    // deterministic garbage lines (unparseable JSON, missing conv_id,
+    // null text) — the quarantine reader must reject EXACTLY those 9
+    // (the require is part of the gate: a quarantine bug errors the
+    // query) while every valid turn flows through the full pipeline
+    // byte-exactly (same oracle as x_transcripts). FAILFAST would
+    // have killed this load; PERMISSIVE would have poisoned it with
+    // nulls.
+    "x_jsonl_quarantine" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("jsonlq")
+      docTurns(s, dir).write.mode("overwrite").json(s"$tmp/in")
+      val garbage = (0 until 9).map {
+        case i if i % 3 == 0 => s"""{corrupt line $i"""
+        case i if i % 3 == 1 =>
+          s"""{"turn_idx": $i, "role": "user", "text": "no conv", """ +
+            s""""tool": "", "ts": "2024-01-01T00:00:0$i.000Z"}"""
+        case i =>
+          s"""{"conv_id": "g$i", "turn_idx": $i, "role": "user", """ +
+            s""""text": null, "tool": "", """ +
+            s""""ts": "2024-01-01T00:00:0$i.000Z"}"""
+      }
+      s.createDataset(garbage).coalesce(1).write.mode("append")
+        .text(s"$tmp/in")
+      val (good, bad) =
+        graft.sources.TranscriptSource.jsonlQuarantine(s, s"$tmp/in")
+      val nBad = bad.count()
+      require(nBad == 9, s"quarantine expected 9 lines, got $nBad")
+      val (out, _) = Job.run(s, good, "jsonl-q")
+      out.toDF().select($"conv_id", $"turn_idx", $"extractor",
+        $"extracted_text".as("extracted"))
+    },
+
     // custom-state streaming (flatMapGroupsWithState): per-user
     // sessionization of the events table with an explicit state
     // machine + event-time timeouts; the streaming output must equal
@@ -785,19 +818,13 @@ object SparkEntry {
     "q_asof_join" -> { (s, dir) =>
       import s.implicits._
       val ev = tbl(s, dir, "events")
-      val views = ev.filter($"event_type" === "view")
-        .select($"user_id", $"ts", $"event_id".as("view_id"),
-          lit(null).cast("long").as("purchase_id"), lit(0).as("side"))
-      val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", lit(null).cast("long").as("view_id"),
-          $"event_id".as("purchase_id"), lit(1).as("side"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"ts".asc, $"side".asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      views.unionByName(purchases)
-        .withColumn("asof_view_id",
-          last($"view_id", ignoreNulls = true).over(w))
-        .filter($"purchase_id".isNotNull)
+      graft.ops.AsofJoin.asof(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id".as("purchase_id")),
+        ev.filter($"event_type" === "view")
+          .select($"user_id", $"ts", $"event_id".as("view_id")),
+        keyCol = "user_id", tsCol = "ts",
+        leftIdCol = "purchase_id", rightIdCol = "view_id")
         .select($"purchase_id", $"user_id", $"asof_view_id")
     },
 
@@ -1405,6 +1432,10 @@ object SparkEntry {
 
     // and the CSV ingestion path
     "x_csv_source" -> transcriptsSql,
+
+    // the quarantine path must preserve every VALID turn byte-exactly
+    // (garbage rejection is gated by the in-query require)
+    "x_jsonl_quarantine" -> transcriptsSql,
 
     // custom-state streaming sessionization must reproduce the batch
     // sessionization oracle exactly (same gap rule, same ordering)

@@ -47,6 +47,37 @@ object TranscriptSource {
       .json(path).as[Turn]
   }
 
+  /** Lenient JSONL ingestion with a QUARANTINE channel: unparseable
+    * lines and rows missing required fields (conv_id, text, ts) land
+    * in the returned quarantine frame (raw line + reason) instead of
+    * either killing the load (FAILFAST) or silently poisoning the
+    * corpus with nulls (PERMISSIVE's default). This is the
+    * production-bulk-load mode: a 100 TB crawl drop always contains
+    * some garbage, and the job should finish while accounting for
+    * every rejected line. Each returned frame re-reads the text
+    * source independently (line-splittable, no caching assumption).
+    */
+  def jsonlQuarantine(spark: SparkSession, path: String)
+      : (Dataset[Turn], org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def parsed = spark.read.textFile(path).toDF("raw")
+      .withColumn("t", from_json(col("raw"), schema))
+    val bad = parsed
+      .withColumn("reason",
+        when(col("t").isNull, "unparseable")
+          .when(col("t.conv_id").isNull, "null conv_id")
+          .when(col("t.text").isNull, "null text")
+          .when(col("t.ts").isNull, "null ts"))
+      .filter(col("reason").isNotNull)
+      .select(col("raw"), col("reason"))
+    val good = parsed
+      .filter(col("t").isNotNull && col("t.conv_id").isNotNull &&
+        col("t.text").isNotNull && col("t.ts").isNotNull)
+      .select("t.*").as[Turn]
+    (good, bad)
+  }
+
   /** CSV with header; multiLine for embedded newlines (see scale
     * notes). Options mirror `writeCsv` so the pair round-trips.
     */

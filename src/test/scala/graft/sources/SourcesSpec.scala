@@ -61,6 +61,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(sort(back) == withNulls)
   }
 
+  test("jsonlQuarantine: valid rows recovered byte-exactly, garbage " +
+    "rejected with reasons, nothing lost or invented") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-q")
+      .toString
+    spark.createDataset(turns).write.mode("overwrite").json(s"$dir/t")
+    val garbage = Seq(
+      "{definitely not json",
+      """{"turn_idx": 1, "role": "user", "text": "x", "tool": "",""" +
+        """ "ts": "2024-01-01T00:00:01.000Z"}""", // missing conv_id
+      """{"conv_id": "g", "turn_idx": 1, "role": "user",""" +
+        """ "text": null, "tool": "", "ts":""" +
+        """ "2024-01-01T00:00:01.000Z"}""") // null text
+    spark.createDataset(garbage).coalesce(1).write.mode("append")
+      .text(s"$dir/t")
+    val (good, bad) = TranscriptSource.jsonlQuarantine(spark, s"$dir/t")
+    assert(sort(good.collect()) == turns)
+    val badRows = bad.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(badRows.length == 3, badRows.toSeq)
+    // every quarantined line carries a reason and is one of the planted
+    // garbage lines (categorization of unparseable-vs-missing-field may
+    // legitimately differ by parser mode; the CONTRACT is the split)
+    assert(badRows.forall { case (raw, reason) =>
+      garbage.contains(raw) && reason != null && reason.nonEmpty
+    }, badRows.toSeq)
+  }
+
   test("explicit schema matches the Turn contract (no inference)") {
     val names = TranscriptSource.schema.fields.map(f =>
       (f.name, f.dataType.typeName)).toSeq
