@@ -900,7 +900,11 @@ object SparkEntry {
         transform(sequence(lit(1), size(ws) - 1), i =>
           concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
         .otherwise(array())
+      // repartition: single small parquet file -> one scan task would
+      // serialize the explode + map-side partial aggregation (see the
+      // t_repetition note); at real scale the input has many splits
       val cells = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"lang", explode(bigrams).as("bg"))
         .groupBy($"lang", $"bg").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"lang")
@@ -969,8 +973,15 @@ object SparkEntry {
 
     "t_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
-      // char-8-gram jaccard flavor over the same twin corpus
-      val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      // char-8-gram jaccard flavor over the same twin corpus.
+      // repartition: 8-grams make this the CPU-heaviest shingler (one
+      // hash per CHARACTER position), so the single-file scan task is
+      // worth a shuffle to parallelize (measured 2.8 -> 1.7 s at
+      // sf0.1); the word-shingle siblings stay un-repartitioned —
+      // there the extra stage costs more than the parallelism pays
+      val d = docs(s, dir).select($"doc_id", $"text")
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
       val corpus = d.union(d.map { case (id, t) =>
         (id + 1000000L, t + " graft dedup tail marker")
       })
