@@ -971,6 +971,27 @@ object SparkEntry {
       graft.ops.MinHashDedup.nearDuplicates(s, corpus)
     },
 
+    // incremental dedup: the daily-batch-vs-history shape. The
+    // historical corpus's band index is computed ONCE and PERSISTED
+    // (parquet scratch stands in for the index table); the new batch
+    // (tail-marker twins) is then deduped against the index READ BACK
+    // FROM STORAGE — history is never re-shingled, and historical text
+    // is fetched only for candidate ids. Must find exactly the
+    // inter-set jaccard>=0.8 pairs the oracle computes exhaustively.
+    "t_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val hist = docs(s, dir).select($"doc_id", $"text")
+        .as[(Long, String)]
+      val tmp = scratchDir("dedupidx")
+      graft.ops.MinHashDedup.bandIndex(s, hist)
+        .write.mode("overwrite").parquet(s"$tmp/index")
+      val newBatch = hist.map { case (id, t) =>
+        (id + 1000000L, t + " graft dedup tail marker")
+      }
+      graft.ops.MinHashDedup.nearDuplicatesIncremental(s,
+        s.read.parquet(s"$tmp/index"), hist, newBatch)
+    },
+
     "t_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // char-8-gram jaccard flavor over the same twin corpus.
@@ -1746,6 +1767,33 @@ object SparkEntry {
         "round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard " +
         "FROM inter JOIN cnt ca ON ca.id = id_a " +
         "JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    // exhaustive inter-set exact jaccard: every (old, new) pair at or
+    // above threshold — the incremental engine must recover them all
+    // from the persisted index alone
+    "t_dedup_incremental" ->
+      ("WITH olds AS (SELECT doc_id AS id, text FROM documents), " +
+        "news AS (SELECT doc_id + 1000000 AS id, " +
+        "text || ' graft dedup tail marker' AS text FROM documents), " +
+        "sho AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM " +
+        "(SELECT id, ws, unnest(generate_series(1, len(ws) - 2)) AS i " +
+        "FROM (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM olds))), " +
+        "shn AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM " +
+        "(SELECT id, ws, unnest(generate_series(1, len(ws) - 2)) AS i " +
+        "FROM (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM news))), " +
+        "cnto AS (SELECT id, count(*) AS n FROM sho GROUP BY 1), " +
+        "cntn AS (SELECT id, count(*) AS n FROM shn GROUP BY 1), " +
+        "inter AS (SELECT a.id AS old_id, b.id AS new_id, " +
+        "count(*) AS i FROM sho a JOIN shn b USING (s) GROUP BY 1, 2) " +
+        "SELECT old_id, new_id, " +
+        "round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard " +
+        "FROM inter JOIN cnto ca ON ca.id = old_id " +
+        "JOIN cntn cb ON cb.id = new_id " +
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
 
     "t_ngram_jaccard" ->

@@ -151,6 +151,78 @@ object MinHashDedup {
       shingleK: Int): String => Set[Long] =
     if (shingler != null) shingler else shingles(_, shingleK)
 
+  /** Persistable band INDEX of a corpus: the slim (band, bh, id) rows
+    * the candidate stage joins on, exposed so an incremental pipeline
+    * computes them ONCE per corpus snapshot and writes them to a
+    * table. At 100 TB this is the difference between re-scanning and
+    * re-signing the whole history for every arriving batch and
+    * reading back a bands-x-|corpus|-row index of 20-byte rows.
+    * Parameters must match the later `nearDuplicatesIncremental` call
+    * (same shingler/numPerm/bands — the signature scheme IS the index
+    * format).
+    */
+  def bandIndex(spark: SparkSession, docs: Dataset[(Long, String)],
+      shingleK: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      shingler: String => Set[Long] = null): DataFrame =
+    bandRows(spark, docs, resolveShingler(shingler, shingleK),
+      numPerm, bands, 42L)
+
+  /** Incremental near-dup: a NEW batch against a HISTORICAL corpus via
+    * its persisted band index — the daily-crawl-vs-history shape.
+    * Only the new batch is shingled and signed; history contributes
+    * its stored index rows, and historical TEXT is fetched only for
+    * candidate ids (left-semi pushdown into `oldDocs`), never scanned
+    * wholesale. Old buckets larger than `bucketCap` are pruned (the
+    * degenerate-history rule, same as nearDuplicates).
+    * Output: (old_id, new_id, jaccard >= threshold), exact-verified.
+    */
+  def nearDuplicatesIncremental(spark: SparkSession,
+      oldIndex: DataFrame, oldDocs: Dataset[(Long, String)],
+      newDocs: Dataset[(Long, String)], shingleK: Int = 3,
+      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      bucketCap: Int = 64,
+      shingler: String => Set[Long] = null): DataFrame = {
+    import spark.implicits._
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val mk = resolveShingler(shingler, shingleK)
+    val newBands = bandRows(spark, newDocs, mk, numPerm, bands, 42L)
+    val keptOld = oldIndex
+      .join(oldIndex.groupBy($"band", $"bh")
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" <= bucketCap).select($"band", $"bh"),
+        Seq("band", "bh"))
+      .withColumnRenamed("id", "old_id")
+    val pairs = keptOld
+      .join(newBands.withColumnRenamed("id", "new_id"),
+        Seq("band", "bh"))
+      .select($"old_id", $"new_id")
+      .distinct()
+    def sortedShingles(docs: Dataset[(Long, String)],
+        ids: DataFrame): DataFrame =
+      docs.toDF("id", "text")
+        .join(ids, Seq("id"), "left_semi")
+        .as[(Long, String)]
+        .map { case (id, text) => (id, mk(text).toArray.sorted.toSeq) }
+        .toDF("id", "sh")
+    val shOld = sortedShingles(oldDocs,
+      pairs.select($"old_id".as("id")))
+    val shNew = sortedShingles(newDocs,
+      pairs.select($"new_id".as("id")))
+    pairs
+      .join(shOld.withColumnRenamed("id", "old_id")
+        .withColumnRenamed("sh", "sh_a"), "old_id")
+      .join(shNew.withColumnRenamed("id", "new_id")
+        .withColumnRenamed("sh", "sh_b"), "new_id")
+      .select($"old_id", $"new_id", $"sh_a", $"sh_b")
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (a, b, shA, shB) =>
+        (a, b, jaccardSorted(shA.toIndexedSeq, shB.toIndexedSeq))
+      }
+      .toDF("old_id", "new_id", "jaccard")
+      .filter($"jaccard" >= threshold)
+      .select($"old_id", $"new_id", round($"jaccard", 4).as("jaccard"))
+  }
+
   /** Attach the single-pass recall ledger to a bucket-count DataFrame:
     * the SAME count aggregation that prunes degenerate buckets also
     * observes how many buckets/rows the cap dropped, so production runs

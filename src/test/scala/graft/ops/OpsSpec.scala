@@ -67,6 +67,56 @@ class MinHashDedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("incremental dedup: new batch vs persisted index finds exactly " +
+    "the inter-set twins; history is not re-signed") {
+    import spark.implicits._
+    val r = new java.util.Random(11)
+    val hist = (0 until 25).map(i =>
+      (i.toLong, (0 until 50).map(_ => s"w${r.nextInt(500)}")
+        .mkString(" ")))
+    val histDs = spark.createDataset(hist)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx")
+      .toString
+    MinHashDedup.bandIndex(spark, histDs)
+      .write.mode("overwrite").parquet(dir)
+    // new batch: twins of 2 history docs + 2 unrelated docs + an
+    // intra-batch twin PAIR (must NOT appear — only old x new pairs do)
+    val newBatch = spark.createDataset(Seq(
+      (200L, hist(0)._2.replaceFirst("^\\S+", "changed")),
+      (201L, hist(1)._2.replaceFirst("^\\S+", "changed")),
+      (202L, (0 until 50).map(_ => "fresh" + r.nextInt(99)).mkString(" ")),
+      (203L, hist(20)._2 + " x"),
+      (204L, hist(20)._2 + " x"))) // 203/204 are an intra-batch pair
+    val got = MinHashDedup.nearDuplicatesIncremental(spark,
+      spark.read.parquet(dir), histDs, newBatch).collect()
+    val keys = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys == Set((0L, 200L), (1L, 201L), (20L, 203L),
+      (20L, 204L)), s"got $keys")
+    assert(got.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("incremental dedup: oversized HISTORY buckets are pruned by the " +
+    "cap (degenerate-history protection)") {
+    import spark.implicits._
+    // 100 identical history docs -> every band bucket has 100 ids;
+    // with bucketCap below that, a matching new doc yields NO pairs
+    val hist = spark.createDataset((0L until 100L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx2")
+      .toString
+    MinHashDedup.bandIndex(spark, hist)
+      .write.mode("overwrite").parquet(dir)
+    val newBatch = spark.createDataset(Seq(
+      (500L, "alpha beta gamma delta epsilon zeta eta theta")))
+    val got = MinHashDedup.nearDuplicatesIncremental(spark,
+      spark.read.parquet(dir), hist, newBatch, bucketCap = 50)
+    assert(got.count() == 0)
+    // raising the cap above the bucket size restores the matches
+    val got2 = MinHashDedup.nearDuplicatesIncremental(spark,
+      spark.read.parquet(dir), hist, newBatch, bucketCap = 128)
+    assert(got2.count() == 100)
+  }
+
   test("degenerate corpus: 100k copies never materialize a mega-bucket") {
     import spark.implicits._
     // 100k identical docs -> every (band, bh) bucket holds 100k ids;
