@@ -40,6 +40,12 @@ object DumpPlans {
       spark, sf))
     dump("x_html_docs (oracle-checked end-to-end extraction)",
       SparkEntry.queries("x_html_docs")(spark, sf))
+    dump("q_asof_join (union + one keyed exchange)",
+      SparkEntry.queries("q_asof_join")(spark, sf))
+    dump("q_skew_salted (shuffled hash join on (k, salt))",
+      SparkEntry.queries("q_skew_salted")(spark, sf))
+    dump("t_kmv_distinct (ObjectHashAggregate partial/merge)",
+      SparkEntry.queries("t_kmv_distinct")(spark, sf))
     spark.stop()
   }
 }
