@@ -348,6 +348,11 @@ object SparkEntry {
       docTurns(s, dir).write.mode("overwrite").json(s"$tmp/in")
       val garbage = (0 until 9).map {
         case i if i % 3 == 0 => s"""{corrupt line $i"""
+        case 4 => // parseable but missing turn_idx: a NON-NULLABLE Int
+          // — without quarantine this row would pass parsing and kill
+          // the whole load at Dataset deserialization
+          """{"conv_id": "g4", "role": "user", "text": "no idx", """ +
+            """"tool": "", "ts": "2024-01-01T00:00:04.000Z"}"""
         case i if i % 3 == 1 =>
           s"""{"turn_idx": $i, "role": "user", "text": "no conv", """ +
             s""""tool": "", "ts": "2024-01-01T00:00:0$i.000Z"}"""
@@ -1735,7 +1740,8 @@ object SparkEntry {
         "FROM lineitem GROUP BY 1) " +
         "SELECT st.grp AS l_returnflag, " +
         "(CASE WHEN nd < 256 THEN nd::HUGEINT " +
-        "ELSE (255::HUGEINT * 18446744073709551616::HUGEINT) // kth " +
+        "ELSE least((255::HUGEINT * 18446744073709551616::HUGEINT) " +
+        "// kth, 9223372036854775807::HUGEINT) " +
         "END)::BIGINT AS est_distinct, " +
         "ex.exact_distinct::BIGINT AS exact_distinct " +
         "FROM st JOIN ex ON st.grp = ex.grp"),
@@ -1914,21 +1920,11 @@ object SparkEntry {
         "list_transform(string_split(w, ''), c -> ascii(c)::HUGEINT)), " +
         "(acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % " +
         "18446744073709551616::HUGEINT) AS h0 FROM tok), " +
-        "m1 AS (SELECT id, (h0 + 11400714819323198485::HUGEINT) % " +
-        "18446744073709551616::HUGEINT AS z0 FROM fnv), " +
-        "m2 AS (SELECT id, xor(z0, z0 >> 30) AS z1 FROM m1), " +
-        "m3 AS (SELECT id, ((((z1 >> 32) * " +
-        "13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * " +
-        "4294967296::HUGEINT + (z1 % 4294967296::HUGEINT) * " +
-        "13787848793156543929::HUGEINT) % " +
-        "18446744073709551616::HUGEINT AS z2 FROM m2), " +
-        "m4 AS (SELECT id, xor(z2, z2 >> 27) AS z3 FROM m3), " +
-        "m5 AS (SELECT id, ((((z3 >> 32) * " +
-        "10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * " +
-        "4294967296::HUGEINT + (z3 % 4294967296::HUGEINT) * " +
-        "10723151780598845931::HUGEINT) % " +
-        "18446744073709551616::HUGEINT AS z4 FROM m4), " +
-        "th AS (SELECT id, xor(z4, z4 >> 31) AS th FROM m5), " +
+        // one frozen SplitMix64 HUGEINT mirror in the codebase: the
+        // same generator the t_kmv_distinct oracle uses
+        "th AS (SELECT id, " +
+        graft.functions.KmvDistinct.mix64Sql("h0") + " AS th " +
+        "FROM fnv), " +
         "votes AS (SELECT id, b, sum(CASE WHEN (th >> b) % 2 = 1 " +
         "THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN " +
         "(SELECT unnest(generate_series(0, 63)) AS b) bs GROUP BY 1, 2), " +

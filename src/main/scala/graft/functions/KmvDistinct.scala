@@ -66,7 +66,12 @@ case class KmvDistinct(child: Expression, k: Int,
     if (n < k) n.toLong
     else {
       val kthU = BigInt(b.set.last) & ((BigInt(1) << 64) - 1)
-      ((BigInt(k - 1) << 64) / kthU).toLong
+      val est = (BigInt(k - 1) << 64) / kthU
+      // clamp: adversarial inputs whose k smallest hashes are tiny
+      // (constructible via the mix64 inverse) push the estimate past
+      // Long range — saturate instead of wrapping negative; the
+      // DuckDB mirror applies the same least(...) clamp
+      if (est > Long.MaxValue) Long.MaxValue else est.toLong
     }
   }
 

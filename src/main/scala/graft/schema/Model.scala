@@ -98,6 +98,11 @@ object Versions {
     * CONTENT decode for uncompressed 24-bit BMP pixels and 16-bit PCM
     * WAV samples — integer luma/abs-sample 8-band embeddings + FNV-1a
     * content hashes; compressed formats keep the labeled codec stub.
+    * v3: decode rules unchanged from v2, but the MEDIA-2 fixture
+    * SYNTHESIS formulas gained a nonlinear cross term (see
+    * Multimodal.synthContentPixel) so band-mean embeddings are
+    * id-discriminative — content hashes/embeddings over the synth
+    * corpora differ from v2's.
     */
-  val MediaVersion = "v2"
+  val MediaVersion = "v3"
 }

@@ -63,17 +63,23 @@ object TranscriptSource {
     import spark.implicits._
     def parsed = spark.read.textFile(path).toDF("raw")
       .withColumn("t", from_json(col("raw"), schema))
+    // EVERY Turn field is required: a parseable line with a null
+    // turn_idx (non-nullable Int) would otherwise pass the filter and
+    // kill the whole load at Dataset deserialization — the exact
+    // failure mode this path exists to prevent; null role/tool would
+    // flow unvalidated into extraction
+    val fields = schema.fieldNames
+    val reason = fields.foldLeft(
+      when(col("t").isNull, "unparseable")) { (acc, f) =>
+      acc.when(col(s"t.$f").isNull, s"null $f")
+    }
     val bad = parsed
-      .withColumn("reason",
-        when(col("t").isNull, "unparseable")
-          .when(col("t.conv_id").isNull, "null conv_id")
-          .when(col("t.text").isNull, "null text")
-          .when(col("t.ts").isNull, "null ts"))
+      .withColumn("reason", reason)
       .filter(col("reason").isNotNull)
       .select(col("raw"), col("reason"))
     val good = parsed
-      .filter(col("t").isNotNull && col("t.conv_id").isNotNull &&
-        col("t.text").isNotNull && col("t.ts").isNotNull)
+      .filter(col("t").isNotNull &&
+        fields.map(f => col(s"t.$f").isNotNull).reduce(_ && _))
       .select("t.*").as[Turn]
     (good, bad)
   }

@@ -76,6 +76,18 @@ class KmvSpec extends AnyFunSuite {
       Seq(("a", 150L), ("b", 150L)))
   }
 
+  test("estimator saturates at Long.MaxValue for adversarially tiny " +
+    "k-th hashes instead of wrapping negative") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = KmvDistinct(Literal(1L), 4)
+    val st = new KmvState(4)
+    // plant the four smallest possible unsigned hashes directly (the
+    // mix64 inverse makes such inputs constructible): kth = 4, so
+    // (k-1)*2^64/4 = 3*2^62*... far beyond Long range
+    Seq(1L, 2L, 3L, 4L).foreach(h => st.set.add(h))
+    assert(agg.eval(st) == Long.MaxValue)
+  }
+
   test("wrong input type is rejected at analysis time") {
     val s = spark
     import s.implicits._

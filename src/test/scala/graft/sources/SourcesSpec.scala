@@ -71,6 +71,10 @@ class SourcesSpec extends AnyFunSuite {
       "{definitely not json",
       """{"turn_idx": 1, "role": "user", "text": "x", "tool": "",""" +
         """ "ts": "2024-01-01T00:00:01.000Z"}""", // missing conv_id
+      """{"conv_id": "g", "role": "user", "text": "x", "tool": "",""" +
+        """ "ts": "2024-01-01T00:00:01.000Z"}""", // missing turn_idx
+      """{"conv_id": "g", "turn_idx": 1, "text": "x", "tool": "",""" +
+        """ "ts": "2024-01-01T00:00:01.000Z"}""", // missing role
       """{"conv_id": "g", "turn_idx": 1, "role": "user",""" +
         """ "text": null, "tool": "", "ts":""" +
         """ "2024-01-01T00:00:01.000Z"}""") // null text
@@ -79,7 +83,7 @@ class SourcesSpec extends AnyFunSuite {
     val (good, bad) = TranscriptSource.jsonlQuarantine(spark, s"$dir/t")
     assert(sort(good.collect()) == turns)
     val badRows = bad.collect().map(r => (r.getString(0), r.getString(1)))
-    assert(badRows.length == 3, badRows.toSeq)
+    assert(badRows.length == 5, badRows.toSeq)
     // every quarantined line carries a reason and is one of the planted
     // garbage lines (categorization of unparseable-vs-missing-field may
     // legitimately differ by parser mode; the CONTRACT is the split)
