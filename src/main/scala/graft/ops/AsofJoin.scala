@@ -27,10 +27,16 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, leftIdCol: String, rightIdCol: String)
       : DataFrame = {
-    val l = left.select(col(keyCol).as("asof_k"), col(tsCol).as("asof_ts"),
+    // as-of is undefined without an event time: a null-ts right row
+    // would sort NULLS FIRST and match every left row as "earliest";
+    // drop null-ts rows from both sides instead (left rows with null
+    // ts are likewise excluded from the output)
+    val left0 = left.filter(col(tsCol).isNotNull)
+    val right0 = right.filter(col(tsCol).isNotNull)
+    val l = left0.select(col(keyCol).as("asof_k"), col(tsCol).as("asof_ts"),
       lit(null).cast("long").as("asof_rid"),
       col(leftIdCol).as("asof_lid"), lit(1).as("asof_side"))
-    val r = right.select(col(keyCol).as("asof_k"), col(tsCol).as("asof_ts"),
+    val r = right0.select(col(keyCol).as("asof_k"), col(tsCol).as("asof_ts"),
       col(rightIdCol).as("asof_rid"),
       lit(null).cast("long").as("asof_lid"), lit(0).as("asof_side"))
     val w = Window.partitionBy(col("asof_k"))

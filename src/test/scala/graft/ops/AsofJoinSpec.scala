@@ -34,6 +34,23 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Seq((10L, 103L), (11L, 101L), (20L, -1L), (30L, -1L)))
   }
 
+  test("null event times are dropped from both sides (a null-ts right " +
+    "row must not match everything as 'earliest')") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, Some(ts(100)), 10L), (1L, None, 11L))
+      .map { case (u, t, p) => (u, t.orNull, p) }
+      .toDF("user_id", "ts", "purchase_id")
+    val right = Seq((1L, Some(ts(90)), 101L), (1L, None, 102L))
+      .map { case (u, t, v) => (u, t.orNull, v) }
+      .toDF("user_id", "ts", "view_id")
+    val got = AsofJoin.asof(left, right, "user_id", "ts",
+      "purchase_id", "view_id").collect()
+    // null-ts purchase 11 excluded; null-ts view 102 never matches
+    assert(got.length == 1 && got(0).getLong(0) == 10L &&
+      got(0).getLong(2) == 101L, got.toSeq)
+  }
+
   test("ties among right rows at one (key, ts): the largest id wins " +
     "deterministically") {
     val s = spark
