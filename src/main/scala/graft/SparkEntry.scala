@@ -784,6 +784,22 @@ object SparkEntry {
         .agg(sum($"gap").as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    // Spark's NATIVE session_window aggregation (merging-interval
+    // state, the built-in the hand-rolled lag/gap q_sessionize rule
+    // approximates): events whose [ts, ts+30min) windows overlap merge
+    // into one session. Semantics gate: a gap of EXACTLY 30 minutes
+    // starts a new session (half-open windows do not overlap) — the
+    // oracle mirrors that >= break rule at full timestamp precision.
+    "q_session_window" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "events")
+        .groupBy($"user_id",
+          session_window($"ts".cast("timestamp"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_timestamp($"w.start").as("w_start"),
+          $"n_events")
+    },
+
     // hierarchical aggregation in one pass: rollup emits (flag,
     // status), (flag, ALL) and (ALL, ALL) grouping sets from a single
     // shuffle — at 100 TB this replaces three separate scans+shuffles
@@ -1654,6 +1670,22 @@ object SparkEntry {
         "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id) AS prev_ts, event_id FROM events)) " +
         "GROUP BY 1"),
+
+    // gap-rule mirror of session_window: break when the gap is >= 30
+    // minutes (half-open [ts, ts+gap) windows), session start = first
+    // event's ts, floored to epoch seconds like unix_timestamp
+    "q_session_window" ->
+      ("WITH m AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN prev_ts IS NULL " +
+        "OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END " +
+        "AS brk FROM (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_ts FROM events)), " +
+        "sid AS (SELECT user_id, ts, sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, floor(epoch(min(ts)))::BIGINT AS w_start, " +
+        "count(*) AS n_events FROM sid GROUP BY user_id, sid.sid"),
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
