@@ -952,6 +952,27 @@ object SparkEntry {
           countDistinct($"l_partkey").as("exact_distinct"))
     },
 
+    // sketch STORE: per-(returnflag, linestatus) KMV sketches computed
+    // once and PERSISTED as <= 2 KiB blobs, then the per-returnflag
+    // distinct estimate answered by MERGING the stored blobs — no
+    // rescan of the raw table. The merge-of-sketches equals the sketch
+    // of the union exactly (the k smallest distinct hashes of a union
+    // are contained in the union of the parts' k smallest), so the
+    // oracle is the same integer estimator over all values directly.
+    "t_kmv_merge" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("kmvstore")
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(graft.functions.KmvDistinct
+          .kmvSketch($"l_partkey", 256).as("sk"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy($"l_returnflag")
+        .agg(graft.functions.KmvDistinct
+          .kmvMergeEstimate($"sk", 256).as("est_distinct"))
+    },
+
     "t_tokens" -> { (s, dir) =>
       import s.implicits._
       docs(s, dir).select($"doc_id",
@@ -1777,6 +1798,22 @@ object SparkEntry {
         "END)::BIGINT AS est_distinct, " +
         "ex.exact_distinct::BIGINT AS exact_distinct " +
         "FROM st JOIN ex ON st.grp = ex.grp"),
+
+    // merging stored per-slice sketches must equal the direct sketch
+    // of the union — the same estimator CTE as t_kmv_distinct
+    "t_kmv_merge" ->
+      ("WITH h0 AS (SELECT DISTINCT l_returnflag AS grp, " +
+        graft.functions.KmvDistinct.mix64Sql("l_partkey") +
+        " AS h FROM lineitem), " +
+        "rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY h) AS r FROM h0), " +
+        "st AS (SELECT grp, count(*) AS nd, " +
+        "max(CASE WHEN r = 256 THEN h END) AS kth FROM rk GROUP BY 1) " +
+        "SELECT grp AS l_returnflag, " +
+        "(CASE WHEN nd < 256 THEN nd::HUGEINT " +
+        "ELSE least((255::HUGEINT * 18446744073709551616::HUGEINT) " +
+        "// kth, 9223372036854775807::HUGEINT) " +
+        "END)::BIGINT AS est_distinct FROM st"),
 
     "t_tokens" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +

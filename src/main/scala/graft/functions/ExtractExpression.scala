@@ -320,6 +320,28 @@ object GraftOpFunctions {
         KmvDistinct(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue)
       }),
+    (FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName,
+        "graft_kmv_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_kmv_sketch(col, k) takes 2 arguments, " +
+            s"got ${exprs.length}")
+        require(exprs(1).foldable, "graft_kmv_sketch: k must be a literal")
+        KmvSketch(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue)
+      }),
+    (FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeEstimate].getName,
+        "graft_kmv_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_kmv_merge(sketch, k) takes 2 arguments, " +
+            s"got ${exprs.length}")
+        require(exprs(1).foldable, "graft_kmv_merge: k must be a literal")
+        KmvMergeEstimate(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue)
+      }),
     (FunctionIdentifier("graft_media_content"),
       new ExpressionInfo(classOf[MediaContent].getName,
         "graft_media_content"),

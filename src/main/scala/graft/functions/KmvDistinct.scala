@@ -61,35 +61,17 @@ case class KmvDistinct(child: Expression, k: Int,
     b
   }
 
-  override def eval(b: KmvState): Any = {
-    val n = b.set.size
-    if (n < k) n.toLong
-    else {
-      val kthU = BigInt(b.set.last) & ((BigInt(1) << 64) - 1)
-      val est = (BigInt(k - 1) << 64) / kthU
-      // clamp: adversarial inputs whose k smallest hashes are tiny
-      // (constructible via the mix64 inverse) push the estimate past
-      // Long range — saturate instead of wrapping negative; the
-      // DuckDB mirror applies the same least(...) clamp
-      if (est > Long.MaxValue) Long.MaxValue else est.toLong
-    }
-  }
+  // estimate clamps at Long.MaxValue: adversarial inputs whose k
+  // smallest hashes are tiny (constructible via the mix64 inverse)
+  // push it past Long range — saturate instead of wrapping negative;
+  // the DuckDB mirror applies the same least(...) clamp
+  override def eval(b: KmvState): Any = KmvDistinct.estimate(b, k)
 
-  override def serialize(b: KmvState): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.set.size)
-    bb.putInt(b.set.size)
-    b.set.forEach(h => { bb.putLong(h); () })
-    bb.array
-  }
+  override def serialize(b: KmvState): Array[Byte] =
+    KmvDistinct.serializeState(b)
 
-  override def deserialize(bytes: Array[Byte]): KmvState = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val st = new KmvState(k)
-    var i = 0
-    while (i < n) { st.set.add(bb.getLong); i += 1 }
-    st
-  }
+  override def deserialize(bytes: Array[Byte]): KmvState =
+    KmvDistinct.deserializeState(k, bytes)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -115,10 +97,51 @@ case class KmvDistinct(child: Expression, k: Int,
 }
 
 object KmvDistinct {
+
+  /** Shared estimator over a KMV state (see KmvDistinct.eval). */
+  private[functions] def estimate(b: KmvState, k: Int): Long = {
+    val n = b.set.size
+    if (n < k) n.toLong
+    else {
+      val kthU = BigInt(b.set.last) & ((BigInt(1) << 64) - 1)
+      val est = (BigInt(k - 1) << 64) / kthU
+      if (est > Long.MaxValue) Long.MaxValue else est.toLong
+    }
+  }
+
+  private[functions] def serializeState(b: KmvState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.set.size)
+    bb.putInt(b.set.size)
+    b.set.forEach(h => { bb.putLong(h); () })
+    bb.array
+  }
+
+  private[functions] def deserializeState(k: Int,
+      bytes: Array[Byte]): KmvState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new KmvState(k)
+    var i = 0
+    while (i < n) { st.set.add(bb.getLong); i += 1 }
+    st
+  }
+
   /** Column API: `kmvDistinct($"url_hash", 256)`. */
   def kmvDistinct(col: Column, k: Int): Column =
     ColumnBridge.column(
       KmvDistinct(ColumnBridge.expression(col), k)
+        .toAggregateExpression())
+
+  /** Column API: aggregate a group into a PERSISTABLE sketch blob. */
+  def kmvSketch(col: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(col), k)
+        .toAggregateExpression())
+
+  /** Column API: merge stored sketch blobs into a distinct estimate. */
+  def kmvMergeEstimate(col: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeEstimate(ColumnBridge.expression(col), k)
         .toAggregateExpression())
 
   /** DuckDB mirror of `MinHashDedup.mix64(v)` for BIGINT `v` >= 0, in
@@ -139,4 +162,123 @@ object KmvDistinct {
     val z4 = mulSplit(s"($z3)", "10723151780598845931")
     s"xor(($z4), ($z4) >> 31)"
   }
+}
+
+/** Sketch-STORE form of the KMV aggregate: groups collapse to a
+  * persistable binary blob (the serialized k-smallest-distinct-hash
+  * state) instead of a final estimate. The 100 TB pattern this
+  * enables: compute per-slice sketches (per day, per source, per
+  * shard) ONCE, store the <= (4 + 8k)-byte blobs in a tiny table, and
+  * answer any distinct-count over any slice combination later by
+  * MERGING blobs (`KmvMergeEstimate`) — no rescan of the raw data.
+  * Exactness of composition: the k smallest distinct hashes of a
+  * union are contained in the union of each part's k smallest, so
+  * merge-of-sketches equals the sketch of the union EXACTLY (the
+  * oracle leans on this property).
+  */
+case class KmvSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv k out of range: $k")
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(b: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) b.add(MinHashDedup.mix64(v.asInstanceOf[Long]))
+    b
+  }
+
+  override def merge(b: KmvState, o: KmvState): KmvState = {
+    o.set.forEach(h => b.add(h))
+    b
+  }
+
+  override def eval(b: KmvState): Any = KmvDistinct.serializeState(b)
+
+  override def serialize(b: KmvState): Array[Byte] =
+    KmvDistinct.serializeState(b)
+  override def deserialize(bytes: Array[Byte]): KmvState =
+    KmvDistinct.deserializeState(k, bytes)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_sketch requires a BIGINT argument, " +
+        s"got ${child.dataType.catalogString}")
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_kmv_sketch"
+}
+
+/** Merge stored KMV sketch blobs (from `KmvSketch`) into one distinct
+  * estimate. The blobs' k must match this aggregate's k (the state
+  * format carries no parameters — the sketch table's schema owns
+  * them, like any sketch store).
+  */
+case class KmvMergeEstimate(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv k out of range: $k")
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(b: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val o = KmvDistinct.deserializeState(k,
+        v.asInstanceOf[Array[Byte]])
+      o.set.forEach(h => b.add(h))
+    }
+    b
+  }
+
+  override def merge(b: KmvState, o: KmvState): KmvState = {
+    o.set.forEach(h => b.add(h))
+    b
+  }
+
+  override def eval(b: KmvState): Any = KmvDistinct.estimate(b, k)
+
+  override def serialize(b: KmvState): Array[Byte] =
+    KmvDistinct.serializeState(b)
+  override def deserialize(bytes: Array[Byte]): KmvState =
+    KmvDistinct.deserializeState(k, bytes)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_merge requires a BINARY sketch argument, " +
+        s"got ${child.dataType.catalogString}")
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): KmvMergeEstimate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): KmvMergeEstimate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_kmv_merge"
 }

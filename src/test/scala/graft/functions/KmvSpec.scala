@@ -76,6 +76,48 @@ class KmvSpec extends AnyFunSuite {
       Seq(("a", 150L), ("b", 150L)))
   }
 
+  test("sketch store: merging persisted per-slice blobs equals the " +
+    "direct estimate over the union, for any slicing") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 4000L).map(i => (("s" + i % 7), i % 900 * 13L))
+    val df = rows.toDF("slice", "v")
+    val direct = df.agg(KmvDistinct.kmvDistinct($"v", 128).as("d"))
+      .collect()(0).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv")
+      .toString
+    df.groupBy($"slice")
+      .agg(KmvDistinct.kmvSketch($"v", 128).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = s.read.parquet(dir)
+      .agg(KmvDistinct.kmvMergeEstimate($"sk", 128).as("d"))
+      .collect()(0).getLong(0)
+    assert(merged == direct, s"merged $merged direct $direct")
+    // and merging a SUBSET of slices equals the direct estimate over
+    // that subset's rows
+    val subsetDirect = df.filter($"slice".isin("s1", "s4"))
+      .agg(KmvDistinct.kmvDistinct($"v", 128).as("d"))
+      .collect()(0).getLong(0)
+    val subsetMerged = s.read.parquet(dir)
+      .filter($"slice".isin("s1", "s4"))
+      .agg(KmvDistinct.kmvMergeEstimate($"sk", 128).as("d"))
+      .collect()(0).getLong(0)
+    assert(subsetMerged == subsetDirect)
+  }
+
+  test("sketch/merge SQL surface") {
+    val s = spark
+    import s.implicits._
+    GraftOpFunctions.register(s)
+    (1L to 500L).map(i => ("g", i % 70)).toDF("g", "v")
+      .createOrReplaceTempView("kmv_sk_v")
+    val est = s.sql(
+      """SELECT graft_kmv_merge(sk, 128) AS d FROM
+         (SELECT g, graft_kmv_sketch(v, 128) AS sk FROM kmv_sk_v
+          GROUP BY g)""").collect()(0).getLong(0)
+    assert(est == 70L)
+  }
+
   test("estimator saturates at Long.MaxValue for adversarially tiny " +
     "k-th hashes instead of wrapping negative") {
     import org.apache.spark.sql.catalyst.expressions.Literal
