@@ -1124,6 +1124,40 @@ object SparkEntry {
           graft.ops.TextStats.redactPII($"text").as("clean_text"))
     },
 
+    // the DAILY-BATCH composition — the day-2 shape of the flagship
+    // curation run (t_corpus_cleanse is day 0 over the full corpus):
+    // sign the history into a persisted band index, dedupe the
+    // arriving batch AGAINST THE INDEX (half the batch is planted
+    // near-dups of history and must drop; the other half is
+    // word-reversed fresh text and must survive), then the QUAL-1 /
+    // LANGID-4 / REDACT-1 gates on the survivors. History is never
+    // re-shingled; the oracle recomputes everything exhaustively.
+    "t_incremental_cleanse" -> { (s, dir) =>
+      import s.implicits._
+      val hist = docs(s, dir).select($"doc_id", $"text")
+        .as[(Long, String)]
+      val tmp = scratchDir("inccleanse")
+      graft.ops.MinHashDedup.bandIndex(s, hist)
+        .write.mode("overwrite").parquet(s"$tmp/index")
+      val newBatch = hist.map { case (id, t) =>
+        if (id % 2 == 0) (id + 1000000L, t + " graft dedup tail marker")
+        else (id + 1000000L,
+          t.split(' ').filter(_.nonEmpty).reverse.mkString(" "))
+      }
+      val dupNew = graft.ops.MinHashDedup.nearDuplicatesIncremental(s,
+        s.read.parquet(s"$tmp/index"), hist, newBatch)
+        .select($"new_id".as("id")).distinct()
+      newBatch.toDF("id", "text")
+        .join(dupNew, Seq("id"), "left_anti")
+        .withColumn("quality",
+          graft.ops.TextStats.qualityScore($"text"))
+        .filter($"quality" >= 0.5)
+        .select($"id",
+          graft.ops.Lexicon.langId($"text").as("lang_pred"),
+          round($"quality", 2).as("quality"),
+          graft.ops.TextStats.redactPII($"text").as("clean_text"))
+    },
+
     // the flagship's recall ledger under the oracle: the same twin
     // corpus and pair job as t_corpus_cleanse with the ledger
     // Observation attached; the emitted row carries the drop counts
@@ -1918,6 +1952,44 @@ object SparkEntry {
     // the curation flow reassembled from tested fragments: jaccard
     // edges >= 0.9 on the twin corpus, recursive-closure keepers,
     // QUAL-1 gate, LANGID-4 label, REDACT-1 scrub
+    // day-2 mirror: exhaustive inter-set jaccard drops, then the same
+    // QUAL-1 / LANGID-4 / REDACT-1 fragments over the survivors
+    "t_incremental_cleanse" ->
+      ("WITH news AS (SELECT doc_id + 1000000 AS id, " +
+        "CASE WHEN doc_id % 2 = 0 " +
+        "THEN text || ' graft dedup tail marker' " +
+        "ELSE array_to_string(list_reverse(list_filter(" +
+        "string_split(text, ' '), x -> x <> '')), ' ') END AS text " +
+        "FROM documents), " +
+        "olds AS (SELECT doc_id AS id, text FROM documents), " +
+        "sho AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM " +
+        "(SELECT id, ws, unnest(generate_series(1, len(ws) - 2)) AS i " +
+        "FROM (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM olds))), " +
+        "shn AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM " +
+        "(SELECT id, ws, unnest(generate_series(1, len(ws) - 2)) AS i " +
+        "FROM (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM news))), " +
+        "cnto AS (SELECT id, count(*) AS n FROM sho GROUP BY 1), " +
+        "cntn AS (SELECT id, count(*) AS n FROM shn GROUP BY 1), " +
+        "inter AS (SELECT a.id AS old_id, b.id AS new_id, " +
+        "count(*) AS i FROM sho a JOIN shn b USING (s) GROUP BY 1, 2), " +
+        "dup AS (SELECT DISTINCT new_id AS id FROM inter " +
+        "JOIN cnto ca ON ca.id = old_id " +
+        "JOIN cntn cb ON cb.id = new_id " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8), " +
+        "t AS (SELECT n.id, n.text, " +
+        "list_filter(string_split(lower(n.text), ' '), x -> x <> '') " +
+        "AS toks FROM news n LEFT JOIN dup d ON n.id = d.id " +
+        "WHERE d.id IS NULL), " +
+        s"r AS (SELECT id, text, toks, $langRatioDefsSql FROM t) " +
+        s"SELECT id, $langCaseSql AS lang_pred, " +
+        s"round(${qualSql("text")}, 2) AS quality, " +
+        s"${redactSql("text")} AS clean_text FROM r " +
+        s"WHERE ${qualSql("text")} >= 0.5"),
+
     "t_corpus_cleanse" ->
       ("WITH RECURSIVE corpus AS (SELECT doc_id AS id, text " +
         "FROM documents UNION ALL SELECT doc_id + 1000000, " +
