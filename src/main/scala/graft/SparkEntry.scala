@@ -1124,6 +1124,35 @@ object SparkEntry {
           graft.ops.TextStats.redactPII($"text").as("clean_text"))
     },
 
+    // the FLAGSHIP CURATION RUN ASSEMBLED FROM JSON: dedupe_near ->
+    // quality gate -> lang_id -> redact -> projection, every stage
+    // from the ConfigPipeline registry over a plain document table —
+    // must reproduce t_corpus_cleanse's oracle exactly, proving the
+    // config surface covers the corpus-ops family with no semantic or
+    // plan drift (the extraction-side twin of this gate is
+    // x_config_pipeline == x_pipeline_e2e)
+    "x_config_cleanse" -> { (s, dir) =>
+      val config =
+        """[
+          {"step": "dedupe_near",
+           "config": {"id": "id", "text": "text", "threshold": 0.9}},
+          {"step": "quality_score",
+           "config": {"col": "text", "out": "quality"}},
+          {"step": "filter", "config": {"expr": "quality >= 0.5"}},
+          {"step": "lang_id",
+           "config": {"col": "text", "out": "lang_pred"}},
+          {"step": "redact",
+           "config": {"col": "text", "out": "clean_text"}},
+          {"step": "with_column",
+           "config": {"name": "quality", "expr": "round(quality, 2)"}},
+          {"step": "select",
+           "config": {"cols": ["id", "lang_pred", "quality",
+                               "clean_text"]}}
+        ]"""
+      graft.pipe.ConfigPipeline.runOps(s,
+        cleanseCorpus(s, dir).toDF("id", "text"), config)
+    },
+
     // the DAILY-BATCH composition — the day-2 shape of the flagship
     // curation run (t_corpus_cleanse is day 0 over the full corpus):
     // sign the history into a persisted band index, dedupe the
@@ -1990,36 +2019,11 @@ object SparkEntry {
         s"${redactSql("text")} AS clean_text FROM r " +
         s"WHERE ${qualSql("text")} >= 0.5"),
 
-    "t_corpus_cleanse" ->
-      ("WITH RECURSIVE corpus AS (SELECT doc_id AS id, text " +
-        "FROM documents UNION ALL SELECT doc_id + 1000000, " +
-        "text || ' graft cluster tail one' FROM documents), " +
-        "tk AS (SELECT id, list_filter(string_split(text, ' '), " +
-        "x -> x <> '') AS ws FROM corpus), " +
-        "sh AS (SELECT DISTINCT id, " +
-        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
-        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tk)), " +
-        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
-        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
-        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2), " +
-        "pairs AS (SELECT id_a, id_b FROM inter " +
-        "JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b " +
-        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9), " +
-        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs " +
-        "UNION ALL SELECT id_b, id_a FROM pairs), " +
-        "reach AS (SELECT id AS src, id AS dst FROM corpus " +
-        "UNION SELECT r.src, e.b FROM reach r JOIN edges e " +
-        "ON r.dst = e.a), " +
-        "keep AS (SELECT src AS id FROM reach GROUP BY src " +
-        "HAVING src = min(dst)), " +
-        "t AS (SELECT c.id, c.text, " +
-        "list_filter(string_split(lower(c.text), ' '), x -> x <> '') " +
-        "AS toks FROM corpus c JOIN keep USING (id)), " +
-        s"r AS (SELECT id, text, toks, $langRatioDefsSql FROM t) " +
-        s"SELECT id, $langCaseSql AS lang_pred, " +
-        s"round(${qualSql("text")}, 2) AS quality, " +
-        s"${redactSql("text")} AS clean_text FROM r " +
-        s"WHERE ${qualSql("text")} >= 0.5"),
+    "t_corpus_cleanse" -> corpusCleanseSql,
+
+    // identical product required from the JSON-assembled pipeline
+    "x_config_cleanse" -> corpusCleanseSql,
+
 
     // drop counts are structurally zero at this fixture (bucket sizes
     // are doc/twin pairs, far under bucketCap) and the pair count is
@@ -2325,6 +2329,39 @@ object SparkEntry {
       "(length(text) - length(replace(text, '...', ''))) // 3) " +
       "* 1.0 / nw, 4) AS symbol_ratio FROM t"
   }
+
+  /** Shared by t_corpus_cleanse and the JSON-assembled
+    * x_config_cleanse (both must land the identical product). */
+  private lazy val corpusCleanseSql: String =
+      ("WITH RECURSIVE corpus AS (SELECT doc_id AS id, text " +
+        "FROM documents UNION ALL SELECT doc_id + 1000000, " +
+        "text || ' graft cluster tail one' FROM documents), " +
+        "tk AS (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
+        "sh AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
+        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tk)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT id AS src, id AS dst FROM corpus " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e " +
+        "ON r.dst = e.a), " +
+        "keep AS (SELECT src AS id FROM reach GROUP BY src " +
+        "HAVING src = min(dst)), " +
+        "t AS (SELECT c.id, c.text, " +
+        "list_filter(string_split(lower(c.text), ' '), x -> x <> '') " +
+        "AS toks FROM corpus c JOIN keep USING (id)), " +
+        s"r AS (SELECT id, text, toks, $langRatioDefsSql FROM t) " +
+        s"SELECT id, $langCaseSql AS lang_pred, " +
+        s"round(${qualSql("text")}, 2) AS quality, " +
+        s"${redactSql("text")} AS clean_text FROM r " +
+        s"WHERE ${qualSql("text")} >= 0.5")
 
   private lazy val langIdOracleSql: String = {
     val fixtures = langFixtures

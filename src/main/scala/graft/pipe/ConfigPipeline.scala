@@ -51,6 +51,13 @@ object ConfigPipeline {
       case _ => throw new ConfigError(s"'$k' must be a boolean")
     }
 
+  private def num(o: JObj, k: String, default: Double): Double =
+    o.get(k) match {
+      case Some(JNum(v)) => v
+      case None => default
+      case _ => throw new ConfigError(s"'$k' must be a number")
+    }
+
   /** Registered transform steps (everything after the extract source). */
   val registry: Map[String, (SparkSession, JObj) => DataFrame => DataFrame] =
     Map(
@@ -86,6 +93,41 @@ object ConfigPipeline {
         val order = strs(cfg, "order")
         df => Job.rankDuplicates(df, key, order, out)
       },
+      // frozen LANGID-4 language classification over a text column
+      "lang_id" -> { (_, cfg) =>
+        val colName = str(cfg, "col", "extracted_text")
+        val out = str(cfg, "out", "lang_pred")
+        df => df.withColumn(out, graft.ops.Lexicon.langId(col(colName)))
+      },
+      // frozen REDACT-1 PII scrub over a text column
+      "redact" -> { (_, cfg) =>
+        val colName = str(cfg, "col", "extracted_text")
+        val out = str(cfg, "out", "clean_text")
+        df => df.withColumn(out,
+          graft.ops.TextStats.redactPII(col(colName)))
+      },
+      // near-duplicate removal: MinHash-LSH pairs at `threshold` ->
+      // connected components -> keep only each cluster's canonical
+      // keeper (min id). `id` must be a LONG (castable) unique key;
+      // the same count-capped, candidate-only-verify engine as the
+      // t_dedup_* queries, so config pipelines inherit its scale shape
+      "dedupe_near" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "id")
+        val textCol = str(cfg, "text", "extracted_text")
+        val threshold = num(cfg, "threshold", 0.9)
+        df => {
+          import s.implicits._
+          val corpus = df
+            .select(col(idCol).cast("long").as("id"),
+              col(textCol).as("text")).as[(Long, String)]
+          val pairs = graft.ops.MinHashDedup.nearDuplicates(s, corpus,
+            threshold = threshold)
+          val keep = graft.ops.Clusters.keepers(s, pairs,
+            corpus.toDF("id", "text").select($"id"))
+            .filter($"is_keeper").select($"id".as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        }
+      },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>
         val group = strs(cfg, "group").map(col)
@@ -98,12 +140,8 @@ object ConfigPipeline {
         df => df.select(cols: _*)
       })
 
-  /** Parse a pipeline config; first step must be "extract" (the source:
-    * Job.run over the input turns), the rest come from the registry.
-    */
-  def run(spark: SparkSession, turns: Dataset[Turn], config: String,
-      runId: String): DataFrame = {
-    val steps = Json.parse(config) match {
+  private def parseSteps(config: String): Seq[(String, JObj)] =
+    Json.parse(config) match {
       case JArr(items) => items.map {
         case o @ JObj(_) =>
           val name = str(o, "step")
@@ -117,6 +155,37 @@ object ConfigPipeline {
       }
       case _ => throw new ConfigError("pipeline config must be an array")
     }
+
+  private def applySteps(spark: SparkSession, input: DataFrame,
+      steps: Seq[(String, JObj)]): DataFrame =
+    steps.foldLeft(input) { case (df, (name, cfg)) =>
+      val stage = registry.getOrElse(name, throw new ConfigError(
+        s"unknown step '$name'; known: extract, " +
+          registry.keys.toSeq.sorted.mkString(", ")))
+      stage(spark, cfg)(df)
+    }
+
+  /** Fold registry steps over an ARBITRARY input table — the config
+    * surface for document-corpus pipelines (dedupe_near / quality /
+    * lang_id / redact / ...) that do not start from transcript
+    * extraction. Same registry, same one-plan composition.
+    */
+  def runOps(spark: SparkSession, input: DataFrame,
+      config: String): DataFrame = {
+    val steps = parseSteps(config)
+    steps.find(_._1 == "extract").foreach { _ =>
+      throw new ConfigError(
+        "'extract' is only valid as the first step of run() over turns")
+    }
+    applySteps(spark, input, steps)
+  }
+
+  /** Parse a pipeline config; first step must be "extract" (the source:
+    * Job.run over the input turns), the rest come from the registry.
+    */
+  def run(spark: SparkSession, turns: Dataset[Turn], config: String,
+      runId: String): DataFrame = {
+    val steps = parseSteps(config)
     if (steps.isEmpty || steps.head._1 != "extract")
       throw new ConfigError("first step must be 'extract'")
     val extractCfg = steps.head._2
@@ -146,11 +215,6 @@ object ConfigPipeline {
       }
     val (out, _) = Job.run(spark, turns, runId, orderOutput = ordered,
       extractFn = extractFn)
-    steps.tail.foldLeft(out.toDF()) { case (df, (name, cfg)) =>
-      val stage = registry.getOrElse(name, throw new ConfigError(
-        s"unknown step '$name'; known: extract, " +
-          registry.keys.toSeq.sorted.mkString(", ")))
-      stage(spark, cfg)(df)
-    }
+    applySteps(spark, out.toDF(), steps.tail)
   }
 }

@@ -86,6 +86,32 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(counts.contains("plain") && counts.contains("html"))
   }
 
+  test("runOps: corpus steps compose over a plain table (dedupe_near " +
+    "keeps cluster keepers; lang_id/redact attach frozen-spec columns)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today y"),
+      (3L, "completely different words in this other document here"))
+      .toDF("id", "text")
+    val out = ConfigPipeline.runOps(spark, docs,
+      """[
+        {"step": "dedupe_near",
+         "config": {"id": "id", "text": "text", "threshold": 0.8}},
+        {"step": "lang_id", "config": {"col": "text"}},
+        {"step": "redact", "config": {"col": "text"}},
+        {"step": "select", "config": {"cols": ["id", "lang_pred"]}}
+      ]""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // 1 and 2 are near-dups -> keeper is min id 1; 3 survives
+    assert(out == Seq((1L, "en"), (3L, "en")), out)
+    // 'extract' is rejected outside the turn pipeline
+    val e = intercept[ConfigPipeline.ConfigError](
+      ConfigPipeline.runOps(spark, docs, """[{"step": "extract"}]"""))
+    assert(e.getMessage.contains("only valid as the first step"),
+      e.getMessage)
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
