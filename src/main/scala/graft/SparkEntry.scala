@@ -567,28 +567,21 @@ object SparkEntry {
     // match. This is the media arm of the ANN family — raw-byte
     // hashing cannot pair these files; content embeddings must.
     "t_media_ann" -> { (s, dir) =>
-      import s.implicits._
-      // repartition: the sf tables are single small parquet files ->
-      // one scan task, which would serialize BOTH the decode and the
-      // |corpus| x |twins| scoring on a single core (see the
-      // t_repetition note); at real scale the input has many splits
-      val base = docs(s, dir).select($"doc_id")
-        .repartition(s.sparkContext.defaultParallelism).as[Long]
-        .map { id =>
-          graft.ops.Multimodal.MediaRow(id, "binary",
-            graft.ops.Multimodal.synthContentContainer(id))
-        }
-      val twins = docs(s, dir).select($"doc_id").as[Long]
-        .filter(_ % 3 == 0)
-        .map { id =>
-          graft.ops.Multimodal.MediaRow(id + 5000000L, "binary",
-            graft.ops.Multimodal.synthContentTwin(id))
-        }
-      val corpus = graft.ops.Multimodal.extractFeatures(s, base).toDF()
-        .select($"media_id".as("id"), $"embedding".as("vec"))
-      val queries = graft.ops.Multimodal.extractFeatures(s, twins).toDF()
-        .select($"media_id".as("qid"), $"embedding".as("qvec"))
+      val (corpus, queries) = mediaAnnCorpus(s, dir)
       graft.ops.Ann.bruteForceTop1(s, corpus, queries)
+    },
+
+    // the SCALE PATH of the same retrieval: multi-table hyperplane LSH
+    // over the decoded 8-band embeddings instead of brute force —
+    // content-identical twins share every sign bucket (exactly equal
+    // vectors), so the index must recover every partner under the
+    // same planted-construction oracle while scoring only bucket
+    // candidates
+    "t_media_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val (corpus, queries) = mediaAnnCorpus(s, dir)
+      graft.ops.Ann.lshTopK(s, corpus, queries, k = 1, dim = 8)
+        .select($"qid", $"id")
     },
 
     "t_media_content" -> { (s, dir) =>
@@ -1398,6 +1391,36 @@ object SparkEntry {
     })
   }
 
+  /** Media retrieval corpus shared by t_media_ann (brute force) and
+    * t_media_ann_lsh (indexed): real container bytes -> MEDIA-2 decode
+    * -> 8-band embeddings; queries are the byte-distinct content
+    * twins. repartition: the sf tables are single small parquet files
+    * -> one scan task, which would serialize the decode + scoring on
+    * one core (see the t_repetition note); at real scale the input
+    * has many splits.
+    */
+  private def mediaAnnCorpus(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val base = docs(s, dir).select($"doc_id")
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+      .map { id =>
+        graft.ops.Multimodal.MediaRow(id, "binary",
+          graft.ops.Multimodal.synthContentContainer(id))
+      }
+    val twins = docs(s, dir).select($"doc_id").as[Long]
+      .filter(_ % 3 == 0)
+      .map { id =>
+        graft.ops.Multimodal.MediaRow(id + 5000000L, "binary",
+          graft.ops.Multimodal.synthContentTwin(id))
+      }
+    val corpus = graft.ops.Multimodal.extractFeatures(s, base).toDF()
+      .select($"media_id".as("id"), $"embedding".as("vec"))
+    val queries = graft.ops.Multimodal.extractFeatures(s, twins).toDF()
+      .select($"media_id".as("qid"), $"embedding".as("qvec"))
+    (corpus, queries)
+  }
+
   /** Planted-twin ANN corpus shared by t_ann_lsh / t_ann_ivf: base
     * embeddings plus 3 colinear twins per query vector.
     */
@@ -1651,6 +1674,11 @@ object SparkEntry {
     // pairs with base id (content-identical embeddings, cosine 1.0 —
     // strictly above any non-identical 8-band integer vector)
     "t_media_ann" ->
+      ("SELECT doc_id + 5000000 AS qid, doc_id AS id FROM documents " +
+        "WHERE doc_id % 3 = 0"),
+
+    // the indexed path must recover the identical planted mapping
+    "t_media_ann_lsh" ->
       ("SELECT doc_id + 5000000 AS qid, doc_id AS id FROM documents " +
         "WHERE doc_id % 3 = 0"),
 
