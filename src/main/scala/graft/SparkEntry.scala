@@ -1834,7 +1834,11 @@ object SparkEntry {
         "AS p95_bin, max(total)::BIGINT AS n FROM cw GROUP BY 1"),
 
     // independent algorithm on the oracle side: DuckDB's native ASOF
-    // JOIN vs Spark's union+sorted-window implementation
+    // JOIN vs Spark's union+sorted-window implementation. Null-ts
+    // caveat: events.ts is non-null at every SF; on a corpus with
+    // null timestamps the two would diverge by design (AsofJoin DROPS
+    // null-ts left rows — as-of is undefined without an event time —
+    // while ASOF LEFT JOIN would retain them with a NULL match)
     "q_asof_join" ->
       ("SELECT p.event_id AS purchase_id, p.user_id, " +
         "v.event_id AS asof_view_id " +

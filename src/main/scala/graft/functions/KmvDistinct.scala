@@ -240,8 +240,18 @@ case class KmvMergeEstimate(child: Expression, k: Int,
   override def update(b: KmvState, input: InternalRow): KmvState = {
     val v = child.eval(input)
     if (v != null) {
-      val o = KmvDistinct.deserializeState(k,
-        v.asInstanceOf[Array[Byte]])
+      val bytes = v.asInstanceOf[Array[Byte]]
+      // k-mismatch guard (detectable direction): a blob carrying MORE
+      // than k hashes was written with a larger k — merging it here
+      // would silently change the estimator's h_k. The opposite
+      // direction (blob written with a SMALLER k over a big slice) is
+      // indistinguishable from a legitimately small slice and stays a
+      // documented contract: the sketch table's k must match.
+      val n = java.nio.ByteBuffer.wrap(bytes).getInt
+      require(n <= k,
+        s"graft_kmv_merge(k=$k) got a sketch blob with $n hashes — " +
+          s"written with a larger k; sketch and merge k must match")
+      val o = KmvDistinct.deserializeState(k, bytes)
       o.set.forEach(h => b.add(h))
     }
     b

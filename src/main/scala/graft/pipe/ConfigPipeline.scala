@@ -117,6 +117,21 @@ object ConfigPipeline {
         val threshold = num(cfg, "threshold", 0.9)
         df => {
           import s.implicits._
+          // the id must be integral BEFORE the long cast: a string id
+          // would cast to null (opaque runtime failure) and a float id
+          // can collide after truncation, silently corrupting the
+          // keeper graph
+          val idType = df.schema.fields.find(_.name == idCol)
+            .getOrElse(throw new ConfigError(
+              s"dedupe_near: no column '$idCol'")).dataType
+          idType match {
+            case org.apache.spark.sql.types.LongType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.ShortType => ()
+            case other => throw new ConfigError(
+              s"dedupe_near: '$idCol' must be an integral column, " +
+                s"got ${other.catalogString}")
+          }
           val corpus = df
             .select(col(idCol).cast("long").as("id"),
               col(textCol).as("text")).as[(Long, String)]
@@ -157,10 +172,10 @@ object ConfigPipeline {
     }
 
   private def applySteps(spark: SparkSession, input: DataFrame,
-      steps: Seq[(String, JObj)]): DataFrame =
+      steps: Seq[(String, JObj)], alsoKnown: String = ""): DataFrame =
     steps.foldLeft(input) { case (df, (name, cfg)) =>
       val stage = registry.getOrElse(name, throw new ConfigError(
-        s"unknown step '$name'; known: extract, " +
+        s"unknown step '$name'; known: $alsoKnown" +
           registry.keys.toSeq.sorted.mkString(", ")))
       stage(spark, cfg)(df)
     }
@@ -215,6 +230,6 @@ object ConfigPipeline {
       }
     val (out, _) = Job.run(spark, turns, runId, orderOutput = ordered,
       extractFn = extractFn)
-    applySteps(spark, out.toDF(), steps.tail)
+    applySteps(spark, out.toDF(), steps.tail, alsoKnown = "extract, ")
   }
 }

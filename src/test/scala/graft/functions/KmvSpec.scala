@@ -105,6 +105,26 @@ class KmvSpec extends AnyFunSuite {
     assert(subsetMerged == subsetDirect)
   }
 
+  test("merging a blob written with a LARGER k fails loudly (the " +
+    "detectable direction of a sketch-table k mismatch)") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-k")
+      .toString
+    df.agg(KmvDistinct.kmvSketch($"v", 64).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[Exception] {
+      spark.read.parquet(dir)
+        .agg(KmvDistinct.kmvMergeEstimate($"sk", 16)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("written with a larger k")),
+      e.toString)
+  }
+
   test("sketch/merge SQL surface") {
     val s = spark
     import s.implicits._

@@ -110,6 +110,18 @@ class ConfigPipelineSpec extends AnyFunSuite {
       ConfigPipeline.runOps(spark, docs, """[{"step": "extract"}]"""))
     assert(e.getMessage.contains("only valid as the first step"),
       e.getMessage)
+    // and the unknown-step hint from runOps does NOT advertise extract
+    val e2 = intercept[ConfigPipeline.ConfigError](
+      ConfigPipeline.runOps(spark, docs, """[{"step": "nope"}]"""))
+    assert(!e2.getMessage.contains("extract"), e2.getMessage)
+    // non-integral id columns are rejected with a clear ConfigError
+    // (a string id would cast to null; a float id can collide)
+    val strIds = Seq(("a", "some text here")).toDF("id", "text")
+    val e3 = intercept[ConfigPipeline.ConfigError](
+      ConfigPipeline.runOps(spark, strIds,
+        """[{"step": "dedupe_near", "config": {"id": "id",
+             "text": "text"}}]"""))
+    assert(e3.getMessage.contains("integral"), e3.getMessage)
   }
 
   test("bad configs are rejected with a clear error") {
