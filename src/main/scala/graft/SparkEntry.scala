@@ -901,6 +901,23 @@ object SparkEntry {
           max($"total").as("n"))
     },
 
+    // stratified deterministic sampling: a fixed-size per-language
+    // sample (the balanced-training-mix draw), selected by md5 rank so
+    // the draw is reproducible across runs/partitionings and biased by
+    // nothing (SAMPLE-1's hash-order principle, per stratum). The rank
+    // window sorts only (lang, md5, id) slim rows. Oracle: identical
+    // rank rule in SQL.
+    "t_sample_stratified" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy($"h".asc, $"doc_id".asc)
+      docs(s, dir)
+        .select($"doc_id", $"lang", md5($"text").as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"lang", $"rn", $"doc_id")
+    },
+
     // vocabulary heavy-hitters: per-language top-5 word bigrams. The
     // scale shape: rows collapse to (lang, bigram, count) cells in ONE
     // hash aggregation (map-side combined — each mapper emits at most
@@ -1861,6 +1878,12 @@ object SparkEntry {
         "FROM events JOIN (SELECT * FROM customer WHERE c_custkey < 150) " +
         "ON (CASE WHEN user_id < 100 THEN 0 ELSE user_id END) " +
         "= c_custkey GROUP BY 1"),
+
+    "t_sample_stratified" ->
+      ("SELECT lang, rn, doc_id FROM (SELECT lang, doc_id, " +
+        "row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(text), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 10"),
 
     "t_top_ngrams" ->
       ("WITH toks AS (SELECT lang, list_filter(string_split(text, ' '), " +
