@@ -202,6 +202,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("salt"), plan)
   }
 
+  test("ANN top-k rank window operates on slim (qid, id, sim) rows — " +
+    "no embedding vectors through the window exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val corpus = (1L to 50L)
+      .map(i => (i, Seq.fill(8)(i.toFloat))).toDF("id", "vec")
+    val queries = (1L to 5L)
+      .map(i => (100L + i, Seq.fill(8)(i.toFloat))).toDF("qid", "qvec")
+    val df = graft.ops.Ann.bruteForceTopK(spark, corpus, queries, k = 2)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ allNodes(q.plan)
+      case _ => Seq(p) ++ p.children.flatMap(allNodes)
+    }
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: WindowExec => w.output.map(_.name)
+    }
+    assert(windows.nonEmpty, df.queryExecution.executedPlan.toString)
+    windows.foreach { cols =>
+      assert(!cols.contains("vec") && !cols.contains("qvec"),
+        s"embedding vectors leaked into the rank window: $cols")
+    }
+  }
+
   test("minhash candidate generation shuffles slim rows only") {
     import spark.implicits._
     val docs = spark.createDataset(Seq((1L, "a b c d e f g")))
