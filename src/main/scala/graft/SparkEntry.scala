@@ -584,6 +584,29 @@ object SparkEntry {
         .select($"qid", $"id")
     },
 
+    // MEDIA-4: real COMPRESSED-format decode. Payloads are full PNGs
+    // (8-bit truecolor, per-row-varying scanline filters, deflated
+    // IDAT, real CRC32s) synthesized from the same pixel formulas as
+    // the BMP corpus; Spark must walk chunks, verify CRCs, INFLATE,
+    // invert all five filters and land the identical content hash +
+    // band embedding the oracle recomputes from the formulas — the
+    // "compressed formats stay stubs" caveat closed for PNG with
+    // nothing but the JDK's java.util.zip.
+    "t_media_png" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthPngContent(id))
+        }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val embCols = (0 until 8).map(d =>
+        element_at($"embedding", d + 1).cast("long").as(s"e$d"))
+      feats.select(
+        ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
+    },
+
     "t_media_content" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long]
@@ -1687,6 +1710,10 @@ object SparkEntry {
 
     "t_media_content" -> mediaContentOracleSql,
 
+    // MEDIA-4: the same pixel formulas recomputed — Spark must get
+    // there through chunk CRCs, inflate and the five PNG filters
+    "t_media_png" -> pngContentOracleSql,
+
     // the planted construction IS the expected retrieval: twin id+5e6
     // pairs with base id (content-identical embeddings, cosine 1.0 —
     // strictly above any non-identical 8-band integer vector)
@@ -2306,6 +2333,29 @@ object SparkEntry {
       "WHERE doc_id % 3 = 0) " +
       "SELECT media_id, " + toSigned("hh") + " AS content_hash, " +
       "count(*) OVER (PARTITION BY hh) > 1 AS is_dup FROM allm"
+
+  /** MEDIA-4 oracle: every doc is a full compressed PNG of the SAME
+    * pixel formulas as the BMP corpus (no %2 split), so the expected
+    * hash+bands are the BMP-branch recomputation over all ids.
+    */
+  private lazy val pngContentOracleSql: String = {
+    val bands = (0 until 8).map { d =>
+      val sel = s"list_filter(idx, i -> (i//w)*8//h = $d)"
+      s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +
+        s"list_sum(list_transform($sel, i -> $luma))::BIGINT // " +
+        s"len($sel) END)::BIGINT AS e$d"
+    }.mkString(", ")
+    "WITH bm AS (SELECT doc_id, 4 + doc_id % 13 AS w, " +
+      "4 + doc_id % 11 AS h FROM documents), " +
+      "bi AS (SELECT *, generate_series(0, (w*h - 1)::BIGINT) AS idx " +
+      "FROM bm), " +
+      "bh AS (SELECT doc_id, " +
+      fnv(s"list_transform(idx, i -> $luma::HUGEINT)") +
+      s" AS hh, $bands FROM bi) " +
+      "SELECT doc_id AS media_id, 'png' AS format, " +
+      toSigned("hh") + " AS content_hash, " +
+      (0 until 8).map(d => s"e$d").mkString(", ") + " FROM bh"
+  }
 
   private lazy val mediaContentOracleSql: String = {
     val bmpBands = (0 until 8).map { d =>

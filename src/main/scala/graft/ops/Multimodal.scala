@@ -322,6 +322,7 @@ object Multimodal {
         val (hash, emb) = (fmt match {
           case "bmp" => decodeBmpContent(m.payload)
           case "wav" => decodeWavContent(m.payload)
+          case "png" => decodePngContent(m.payload) // MEDIA-4 (DEFLATE)
           case _     => None
         }).getOrElse((stubHash, stubEmb))
         MediaFeatures(m.media_id, m.kind, fmt, m.payload.length.toLong,
@@ -485,6 +486,210 @@ object Multimodal {
       b(30) = 0; b(31) = 0
     }
     b
+  }
+
+  // ---- MEDIA-4: real COMPRESSED-format decode (PNG) -----------------
+  // The zero-egress constraint excludes codec JARs, not the JDK:
+  // DEFLATE lives in java.util.zip (Inflater/Deflater/CRC32), which is
+  // everything a full non-interlaced 8-bit-truecolor PNG reader needs.
+
+  /** PNG Paeth predictor (the published spec's tie order: a, b, c). */
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A REAL compressed PNG with content for id: 8-bit truecolor,
+    * non-interlaced, pixels from the synthContentPixel formulas
+    * (w/h from synthContentDims), scanline filter VARIES per row
+    * (f = (id + y) % 5) so every one of the five PNG filters is
+    * exercised, IDAT deflate-compressed, chunk CRC32s real. The
+    * t_media_png oracle recomputes hash+bands from the FORMULAS, so a
+    * filter or inflate bug on either side breaks the match.
+    */
+  def synthPngContent(id: Long): Array[Byte] = {
+    val (w, h) = synthContentDims(id)
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var off = 0
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val (r, g, b) = synthContentPixel(id, x, y)
+        cur(3 * x) = r; cur(3 * x + 1) = g; cur(3 * x + 2) = b
+      }
+      val f = ((id + y) % 5).toInt
+      raw(off) = f.toByte; off += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        raw(off) = ((cur(i) - pred) & 0xFF).toByte; off += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    deflater.end()
+    val idat = zbuf.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    def wb(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xFF))
+    def wbe32(v: Long): Unit =
+      wb((v >>> 24).toInt, (v >>> 16).toInt, (v >>> 8).toInt, v.toInt)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      wbe32(data.length.toLong)
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      wbe32(crc.getValue)
+    }
+    wb(0x89); "PNG".foreach(ch => out.write(ch.toInt))
+    wb(0x0D, 0x0A, 0x1A, 0x0A)
+    val ihdr = new Array[Byte](13)
+    def p32(o: Int, v: Int): Unit = {
+      ihdr(o) = (v >>> 24).toByte; ihdr(o + 1) = (v >>> 16).toByte
+      ihdr(o + 2) = (v >>> 8).toByte; ihdr(o + 3) = v.toByte
+    }
+    p32(0, w); p32(4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** MEDIA-4 frozen content contract for compressed PNG (8-bit
+    * truecolor, non-interlaced): chunk walk with CRC32 VERIFICATION,
+    * concatenated-IDAT inflate via the JDK Inflater, all five scanline
+    * filters inverted per the published spec, then the SAME content
+    * contract as BMP — integer luma, FNV-1a over top-down luma bytes,
+    * 8 row-band floor-mean embedding. Returns None (stub fallback) on
+    * anything else: wrong color type/depth/interlace, bad CRC,
+    * truncated or oversized streams, invalid filter bytes.
+    */
+  def decodePngContent(bytes: Array[Byte]): Option[(Long, Seq[Float])] = {
+    if (bytes.length < 8 + 12 + 13 ||
+      u8(bytes, 0) != 0x89 || !ascii(bytes, 1, "PNG") ||
+      u8(bytes, 4) != 0x0D || u8(bytes, 5) != 0x0A ||
+      u8(bytes, 6) != 0x1A || u8(bytes, 7) != 0x0A) return None
+    var p = 8
+    var w = -1
+    var h = -1
+    var headerOk = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && p + 12 <= bytes.length) {
+      val len = be32(bytes, p)
+      if (len < 0 || len > Int.MaxValue - 12 ||
+        p + 12L + len > bytes.length) return None
+      val l = len.toInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, p + 4, 4 + l)
+      if (crc.getValue != be32(bytes, p + 8 + l)) return None
+      val typ = new String(bytes, p + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (l != 13) return None
+          w = be32(bytes, p + 8).toInt
+          h = be32(bytes, p + 12).toInt
+          headerOk = u8(bytes, p + 16) == 8 && // bit depth
+            u8(bytes, p + 17) == 2 && // truecolor, no alpha
+            u8(bytes, p + 18) == 0 && // deflate
+            u8(bytes, p + 19) == 0 && // adaptive filtering
+            u8(bytes, p + 20) == 0 // non-interlaced
+        case "IDAT" => idat.write(bytes, p + 8, l)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped (CRC still checked)
+      }
+      p += 12 + l
+    }
+    // hostile-header hardening: dims are attacker-controlled; the raw
+    // buffer is bounded before allocation
+    if (!headerOk || w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
+      return None
+    val stride = w * 3
+    val rawLen = h.toLong * (1L + stride)
+    if (rawLen > (1L << 26)) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated / preset-dictionary stream
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (got < raw.length) return None
+    var hash = 0xCBF29CE484222325L
+    val sums = new Array[Long](8)
+    val cnts = new Array[Long](8)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val f = u8(raw, base)
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = prev(i)
+        val c = if (i >= 3) prev(i - 3) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        cur(i) = (u8(raw, base + 1 + i) + pred) & 0xFF
+        i += 1
+      }
+      val band = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val luma = (299 * cur(3 * x) + 587 * cur(3 * x + 1) +
+          114 * cur(3 * x + 2)) / 1000
+        hash ^= luma
+        hash *= 0x100000001B3L
+        sums(band) += luma
+        cnts(band) += 1
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((hash, (0 until 8).map(d =>
+      if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat)))
   }
 
   /** A sampled frame reference with stub-resized dimensions. */

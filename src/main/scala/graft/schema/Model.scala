@@ -103,6 +103,12 @@ object Versions {
     * Multimodal.synthContentPixel) so band-mean embeddings are
     * id-discriminative — content hashes/embeddings over the synth
     * corpora differ from v2's.
+    * v4 (MEDIA-4): real COMPRESSED-format decode added for PNG
+    * (8-bit truecolor, non-interlaced): chunk walk with CRC32
+    * verification, concatenated-IDAT inflate via the JDK
+    * java.util.zip.Inflater, all five scanline filters; same content
+    * contract as BMP (luma FNV-1a + 8 row-band floor means). v2/v3
+    * decode rules for BMP/WAV are unchanged.
     */
-  val MediaVersion = "v3"
+  val MediaVersion = "v4"
 }

@@ -135,6 +135,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MEDIA-4: real PNG decode — chunk walk + CRC verify + inflate " +
+    "+ all five scanline filters recover the synthesis formulas") {
+    // ids with h >= 5 exercise every filter (f = (id+y) % 5 per row)
+    for (id <- Seq(0L, 1L, 5L, 23L, 149L, 150L)) {
+      val png = Multimodal.synthPngContent(id)
+      val (hash, emb) = Multimodal.decodePngContent(png).get
+      val (w, h) = Multimodal.synthContentDims(id)
+      var expHash = 0xCBF29CE484222325L
+      val sums = new Array[Long](8)
+      val cnts = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthContentPixel(id, x, y)
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        expHash ^= luma
+        expHash *= 0x100000001B3L
+        sums(y * 8 / h) += luma
+        cnts(y * 8 / h) += 1
+      }
+      assert(hash == expHash, id)
+      assert(emb == (0 until 8).map(d =>
+        if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat), id)
+    }
+  }
+
+  test("MEDIA-4: tampered CRC, truncated stream, and header-only PNGs " +
+    "fall back to the stub (None), never throw") {
+    val png = Multimodal.synthPngContent(10L)
+    val crcTamper = png.clone()
+    crcTamper(crcTamper.length - 1) =
+      (crcTamper(crcTamper.length - 1) ^ 0xFF).toByte
+    assert(Multimodal.decodePngContent(crcTamper).isEmpty)
+    val dataTamper = png.clone()
+    dataTamper(60) = (dataTamper(60) ^ 0x55).toByte // inside IDAT
+    assert(Multimodal.decodePngContent(dataTamper).isEmpty)
+    val trunc = java.util.Arrays.copyOf(png, png.length - 20)
+    assert(Multimodal.decodePngContent(trunc).isEmpty)
+    // MEDIA-1's header-only PNG carries zero CRCs -> stub fallback
+    assert(Multimodal.decodePngContent(
+      Multimodal.synthContainer(0L)).isEmpty)
+  }
+
   test("MEDIA-2: WAV PCM decode recovers the synthesis formulas " +
     "(LE 16-bit words, signed)") {
     for (id <- Seq(1L, 3L, 77L, 149L)) {
