@@ -607,6 +607,34 @@ object SparkEntry {
         ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
     },
 
+    // cross-FORMAT content identity: the same pixels stored as an
+    // uncompressed bottom-up BGR BMP and as a DEFLATE-compressed
+    // filtered PNG — entirely different bytes, different container,
+    // different compression — must land the IDENTICAL content hash,
+    // and joining on that hash must recover exactly the planted
+    // format pairs. This is what a content-addressed media store
+    // needs: identity that survives transcoding.
+    "t_media_cross" -> { (s, dir) =>
+      import s.implicits._
+      val ids = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .filter(_ % 2 == 0)
+      val media = ids.flatMap { id =>
+        Seq(
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContentContainer(id)), // BMP
+          graft.ops.Multimodal.MediaRow(id + 7000000L, "binary",
+            graft.ops.Multimodal.synthPngContent(id))) // PNG, same px
+      }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val bmp = feats.filter($"format" === "bmp")
+        .select($"media_id".as("bmp_id"), $"content_hash")
+      val png = feats.filter($"format" === "png")
+        .select($"media_id".as("png_id"), $"content_hash")
+      bmp.join(png, "content_hash")
+        .select($"bmp_id", $"png_id")
+    },
+
     "t_media_content" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long]
@@ -1713,6 +1741,12 @@ object SparkEntry {
     // MEDIA-4: the same pixel formulas recomputed — Spark must get
     // there through chunk CRCs, inflate and the five PNG filters
     "t_media_png" -> pngContentOracleSql,
+
+    // the planted cross-format pairing IS the expectation: transcode
+    // must preserve content identity, byte identity be damned
+    "t_media_cross" ->
+      ("SELECT doc_id AS bmp_id, doc_id + 7000000 AS png_id " +
+        "FROM documents WHERE doc_id % 2 = 0"),
 
     // the planted construction IS the expected retrieval: twin id+5e6
     // pairs with base id (content-identical embeddings, cosine 1.0 —
