@@ -515,7 +515,10 @@ object SparkEntry {
     // doc_id; Spark parses format/width/height/frames FROM THE BYTES
     // (fixed-offset reads per the published container specs) while the
     // oracle recomputes them from the synthesis formulas — a parser or
-    // synthesizer bug on either side breaks the match
+    // synthesizer bug on either side breaks the match. Uses the
+    // HEADER-ONLY entry point: a metadata scan must never attempt
+    // content decode (at 100 TB that would be a DEFLATE attempt per
+    // PNG bought for discarded columns)
     "t_media_headers" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long]
@@ -523,7 +526,7 @@ object SparkEntry {
           graft.ops.Multimodal.MediaRow(id, "binary",
             graft.ops.Multimodal.synthContainer(id))
         }
-      graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      graft.ops.Multimodal.extractHeaders(s, media).toDF()
         .select($"media_id", $"format", $"n_bytes", $"width", $"height",
           $"n_frames")
     },
@@ -2463,7 +2466,7 @@ object SparkEntry {
       "round(len(list_filter(ls, l -> regexp_matches(ltrim(l), " +
       "'^[-*•]'))) * 1.0 / len(ls), 4) AS bullet_ratio, " +
       "round(len(list_filter(ls, l -> regexp_matches(l, " +
-      "'(\\.\\.\\.|…)$'))) * 1.0 / len(ls), 4) AS ellipsis_ratio, " +
+      "'(\\.\\.\\.|…)\\z'))) * 1.0 / len(ls), 4) AS ellipsis_ratio, " +
       "round(((length(text) - length(replace(text, '#', ''))) + " +
       "(length(text) - length(replace(text, '...', ''))) // 3) " +
       "* 1.0 / nw, 4) AS symbol_ratio FROM t"

@@ -159,6 +159,30 @@ object Ann {
     best
   }
 
+  /** Upper bound on the query-set size the indexed paths will
+    * broadcast. lshTopK/ivfTopK broadcast the query probes and the
+    * query vectors — correct for retrieval-sized query sets, an OOM
+    * for a corpus-sized one. A caller that wants all-pairs similarity
+    * over two large sides wants EmbeddingDedup (banded LSH join, no
+    * broadcast), not top-k retrieval.
+    */
+  val MaxBroadcastQueries: Long = 1L << 20
+
+  /** Materialize the slim (idCol, vecCol) projection ONCE and return
+    * the checkpointed frame plus its row count. The corpus plan may be
+    * an arbitrarily expensive upstream (e.g. a full media content
+    * decode) and the indexed paths consume it twice (bucket pass +
+    * candidate re-join) — without this the whole upstream would
+    * re-execute per consumption (at 100 TB: a second full-corpus
+    * decode bought for nothing). localCheckpoint keeps only the slim
+    * vectors, the same pattern as Clusters' per-round checkpoint.
+    */
+  private def materializeSlim(df: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, Long) = {
+    val slim = df.select(col(idCol), col(vecCol)).localCheckpoint()
+    (slim, slim.count())
+  }
+
   /** Fixed-point scale for deterministic distributed summation:
     * normalized components are in [-1, 1], so scaling to 2^40 and
     * summing as longs makes the reduction ASSOCIATIVE — any
@@ -263,15 +287,24 @@ object Ann {
       iters: Int = 3, seed: Long = 42L,
       sampleCap: Int = 65536): DataFrame = {
     import spark.implicits._
-    val cents = trainIvfCentroids(spark, corpus, dim, nClusters, iters,
+    // slim inputs materialized once: corpus is consumed THREE times
+    // (training sample, bucket assignment, candidate rerank), queries
+    // twice — see materializeSlim
+    val (corpusM, _) = materializeSlim(corpus, "id", "vec")
+    val (queriesM, nq) = materializeSlim(queries, "qid", "qvec")
+    require(nq <= MaxBroadcastQueries,
+      s"ivfTopK: $nq query rows exceed the broadcastable bound " +
+        s"$MaxBroadcastQueries — for all-pairs similarity over two " +
+        "large sides use EmbeddingDedup's banded LSH join instead")
+    val cents = trainIvfCentroids(spark, corpusM, dim, nClusters, iters,
       seed, sampleCap)
     val bc = spark.sparkContext.broadcast(cents)
 
-    val corpusRows = corpus.as[(Long, Seq[Float])]
+    val corpusRows = corpusM.as[(Long, Seq[Float])]
       .map { case (id, v) => (nearestCentroid(v, bc.value), id) }
       .toDF("bucket", "id")
 
-    val queryProbes = queries.as[(Long, Seq[Float])]
+    val queryProbes = queriesM.as[(Long, Seq[Float])]
       .flatMap { case (qid, v) =>
         val nv = normalize(v)
         val scored = bc.value.indices.map { c =>
@@ -290,8 +323,8 @@ object Ann {
       .filter($"id" =!= $"qid")
       .select($"qid", $"id").distinct()
 
-    val scored = corpus.join(cand, Seq("id"))
-      .join(broadcast(queries), Seq("qid"))
+    val scored = corpusM.join(cand, Seq("id"))
+      .join(broadcast(queriesM), Seq("qid"))
       .withColumn("sim", cosine($"qvec", $"vec"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -309,18 +342,28 @@ object Ann {
       k: Int, dim: Int, nTables: Int = 4, nPlanes: Int = 16,
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
+    // slim inputs materialized once: corpus is consumed twice (bucket
+    // pass + candidate re-join), queries twice (probes + rerank) —
+    // without this an expensive upstream (media content decode) would
+    // run once PER consumption (see materializeSlim)
+    val (corpusM, _) = materializeSlim(corpus, "id", "vec")
+    val (queriesM, nq) = materializeSlim(queries, "qid", "qvec")
+    require(nq <= MaxBroadcastQueries,
+      s"lshTopK: $nq query rows exceed the broadcastable bound " +
+        s"$MaxBroadcastQueries — for all-pairs similarity over two " +
+        "large sides use EmbeddingDedup's banded LSH join instead")
     val pl = spark.sparkContext.broadcast(
       planeTables(nTables, nPlanes, dim, seed))
 
     // slim (tbl, bucket, id) rows — vectors stay behind
-    val corpusRows = corpus.as[(Long, Seq[Float])]
+    val corpusRows = corpusM.as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
         pl.value.iterator.zipWithIndex.map { case (t, ti) =>
           (ti, signBucket(v, t), id)
         }
       }.toDF("tbl", "bucket", "id")
 
-    val queryProbes = queries.as[(Long, Seq[Float])]
+    val queryProbes = queriesM.as[(Long, Seq[Float])]
       .flatMap { case (qid, v) =>
         pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
           val b = signBucket(v, t)
@@ -335,8 +378,8 @@ object Ann {
       .select($"qid", $"id").distinct()
 
     // vectors joined back for candidates only
-    val scored = corpus.join(cand, Seq("id"))
-      .join(broadcast(queries), Seq("qid"))
+    val scored = corpusM.join(cand, Seq("id"))
+      .join(broadcast(queriesM), Seq("qid"))
       .withColumn("sim", cosine($"qvec", $"vec"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
     scored.withColumn("rank", row_number().over(w))

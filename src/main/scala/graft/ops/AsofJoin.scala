@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Ties: at equal timestamps the right side sorts first (side 0 < 1),
   * giving >= ("at-or-before") semantics; if several right rows share
-  * (key, ts) the one latest in `rightOrd` order wins — pass a unique
-  * tiebreaker column for determinism.
+  * (key, ts) the LARGEST right id wins — the window orders asof_rid
+  * ascending and last() takes the final one — so the result is
+  * deterministic whenever the right id column is unique.
   */
 object AsofJoin {
 

@@ -157,7 +157,9 @@ object Multimodal {
       val size = le32(b, p + 4) // u32 as Long: never negative, and the
       // Long addition below cannot wrap p backwards on a hostile size
       // (a truncated-chunk p just exits the loop bound)
-      if (ascii(b, p, "fmt ") && p + 22 + 2 <= b.length)
+      // size >= 16: blockAlign lives at chunk offset 12 — same hostile
+      // short-fmt-chunk guard as decodeWavContent
+      if (ascii(b, p, "fmt ") && size >= 16L && p + 22 + 2 <= b.length)
         blockAlign = le16(b, p + 20)
       else if (ascii(b, p, "data"))
         dataSize = size
@@ -243,7 +245,10 @@ object Multimodal {
     var dataSize = -1L
     while (p + 8 <= b.length && (!fmtOk || dataOff < 0)) {
       val size = le32(b, p + 4)
-      if (ascii(b, p, "fmt ") && p + 24 <= b.length)
+      // size >= 16: audioFormat/bitsPerSample live at chunk offsets
+      // 0/14 — a hostile fmt chunk declaring size < 16 must not have
+      // its fields read from the FOLLOWING chunk's bytes
+      if (ascii(b, p, "fmt ") && size >= 16L && p + 24 <= b.length)
         fmtOk = le16(b, p + 8) == 1 && le16(b, p + 22) == 16 // PCM, 16-bit
       else if (ascii(b, p, "data")) { dataOff = p + 8L; dataSize = size }
       val next = p.toLong + 8L + size + (size & 1L)
@@ -300,12 +305,51 @@ object Multimodal {
     (w, hh, frames, h, emb)
   }
 
+  /** Header-only metadata row: no content hash / embedding — the
+    * schema for metadata scans that must never pay content-decode cost.
+    */
+  case class MediaHeader(
+      media_id: Long,
+      kind: String,
+      format: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** HEADER-ONLY extraction: container metadata from fixed-offset byte
+    * reads (MEDIA-1), stub fallback for unknown magic — and NOTHING
+    * else. This path provably cannot inflate/LZW/decode content (the
+    * content decoders are never referenced from it), so a metadata scan
+    * over 100 TB of media pays a few hundred byte reads per recognized
+    * file instead of attempting DEFLATE on every PNG. Use
+    * `extractFeatures` only when the content hash / embedding columns
+    * are actually consumed.
+    */
+  def extractHeaders(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[MediaHeader] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (fmt, w, h, frames) = parseContainerHeader(m.payload)
+          .getOrElse {
+            val (w0, h0, f0, _, _) = decodeStub(m.kind, m.payload)
+            ("unknown", w0, h0, f0)
+          }
+        MediaHeader(m.media_id, m.kind, fmt, m.payload.length.toLong,
+          w, h, frames)
+      }
+    }
+  }
+
   /** Batched feature extraction: one pass per partition, decoder state
     * (in production: the codec instance) initialized once per partition
     * like the reference's per-worker engine init resources
     * (vkit/engine/interface.py:59-85). Header metadata is REAL for
     * recognized containers (MEDIA-1); unknown magic falls back to the
-    * stub.
+    * stub. The stub (a full-payload FNV pass) is computed LAZILY: rows
+    * whose container parses AND whose content decodes for real never
+    * pay it.
     */
   def extractFeatures(spark: SparkSession,
       media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -313,10 +357,10 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (heavyweight codec)
       it.map { m =>
-        val (w0, h0, f0, stubHash, stubEmb) = decodeStub(m.kind, m.payload)
+        lazy val stub = decodeStub(m.kind, m.payload)
         val (fmt, w, h, frames) = parseContainerHeader(m.payload)
-          .getOrElse(("unknown", w0, h0, f0))
-        // MEDIA-2: real content hash + embedding for the formats a
+          .getOrElse { ("unknown", stub._1, stub._2, stub._3) }
+        // MEDIA-2/4/5: real content hash + embedding for the formats a
         // pure-JVM reader can decode; everything else keeps the
         // labeled stub (the codec swap point)
         val (hash, emb) = (fmt match {
@@ -324,7 +368,7 @@ object Multimodal {
           case "wav" => decodeWavContent(m.payload)
           case "png" => decodePngContent(m.payload) // MEDIA-4 (DEFLATE)
           case _     => None
-        }).getOrElse((stubHash, stubEmb))
+        }).getOrElse((stub._4, stub._5))
         MediaFeatures(m.media_id, m.kind, fmt, m.payload.length.toLong,
           w, h, frames, hash, emb)
       }

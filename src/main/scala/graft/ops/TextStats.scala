@@ -129,9 +129,14 @@ object TextStats {
       .cast("double") / size(lines), 4)
   }
 
+  // \z (end of input), NOT $: Java-regex $ also matches before a
+  // trailing line terminator, so after splitting on '\n' a CRLF corpus
+  // would count '\r'-terminated lines as ellipsis-terminated while the
+  // RE2 oracle mirror would not — \z means the same thing on both
+  // engines (LSHAPE-1)
   def ellipsisRatio(text: Column): Column = {
     val lines = split(text, "\n")
-    round(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+    round(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\z")))
       .cast("double") / size(lines), 4)
   }
 

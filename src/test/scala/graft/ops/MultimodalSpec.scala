@@ -84,6 +84,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.width >= 64)) // stub-derived
   }
 
+  test("extractHeaders is genuinely header-only: a PNG whose content " +
+    "stream is corrupt still yields real header metadata, and a short " +
+    "fmt chunk cannot leak fields from the following chunk") {
+    import spark.implicits._
+    // valid full PNG, then flip a byte inside IDAT: content decode
+    // would reject it (CRC), but the header path must not care — it
+    // never attempts content decode at all
+    val png = Multimodal.synthPngContent(6L)
+    val broken = png.clone()
+    broken(broken.length - 20) = (broken(broken.length - 20) ^ 0x5A).toByte
+    val (w, h) = Multimodal.synthContentDims(6L)
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", broken)))
+    val hdr = Multimodal.extractHeaders(spark, rows).collect().head
+    assert((hdr.format, hdr.width, hdr.height) == ("png", w, h))
+    // the content path, by contrast, falls back to the stub on the
+    // same bytes (CRC-verified chunks)
+    val feat = Multimodal.extractFeatures(spark, rows).collect().head
+    val intact = Multimodal.extractFeatures(spark, spark.createDataset(
+      Seq(Multimodal.MediaRow(1L, "image", png)))).collect().head
+    assert(feat.content_hash != intact.content_hash)
+    // ADVICE guard: a WAV fmt chunk declaring size < 16 must not have
+    // audioFormat/bitsPerSample read from the following chunk's bytes
+    val wav = Multimodal.synthContentContainer(7L) // odd id -> WAV
+    val short = wav.clone()
+    short(16) = 4; short(17) = 0; short(18) = 0; short(19) = 0 // size=4
+    assert(Multimodal.decodeWavContent(short).isEmpty)
+  }
+
   test("header parsers never throw or hang on hostile bytes (fuzz)") {
     val r = new java.util.Random(99)
     // random garbage of assorted sizes

@@ -427,6 +427,39 @@ class AnnSpec extends AnyFunSuite {
     assert(c1.flatten.toSeq == c2.flatten.toSeq)
   }
 
+  test("lshTopK materializes slim inputs: an expensive corpus upstream " +
+    "executes exactly once, not once per consumption") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("corpus-decodes")
+    val vs = mkVecs(40, 16, 9)
+    // the accumulator stands in for an expensive per-row decode: if
+    // lshTopK re-executed the corpus plan for the candidate re-join
+    // (the pre-fix shape), the count would be 2x the corpus size
+    val corpus = spark.createDataset(vs)
+      .map { r => acc.add(1); r }.toDF("id", "vec")
+    val queries = spark.createDataset(vs.take(2)).toDF("qid", "qvec")
+    Ann.lshTopK(spark, corpus, queries, 3, dim = 16).collect()
+    assert(acc.value == 40L,
+      s"corpus upstream executed ${acc.value}/40 times")
+  }
+
+  test("lshTopK refuses a corpus-sized query side instead of OOMing " +
+    "the broadcast") {
+    import spark.implicits._
+    val vs = mkVecs(4, 8, 11)
+    val corpus = spark.createDataset(vs).toDF("id", "vec")
+    // a lazy frame that CLAIMS many rows via range: counting happens on
+    // the slim checkpoint, so build a genuinely large query set lazily
+    val queries = spark.range(Ann.MaxBroadcastQueries + 1)
+      .select($"id".as("qid"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0f)).as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.lshTopK(spark, corpus, queries, 1, dim = 1)
+    }
+    assert(e.getMessage.contains("EmbeddingDedup"))
+  }
+
   test("ivf training is bounded by sampleCap (extra corpus outside the " +
     "sample cannot change the centroids)") {
     import spark.implicits._
