@@ -611,12 +611,13 @@ object SparkEntry {
     },
 
     // cross-FORMAT content identity: the same pixels stored as an
-    // uncompressed bottom-up BGR BMP and as a DEFLATE-compressed
-    // filtered PNG — entirely different bytes, different container,
-    // different compression — must land the IDENTICAL content hash,
-    // and joining on that hash must recover exactly the planted
-    // format pairs. This is what a content-addressed media store
-    // needs: identity that survives transcoding.
+    // uncompressed bottom-up BGR BMP, as a DEFLATE-compressed filtered
+    // PNG, and as an LZW-compressed palette GIF — three entirely
+    // different byte streams, containers and compressions — must land
+    // the IDENTICAL content hash, and joining on that hash must
+    // recover exactly the planted format triples. This is what a
+    // content-addressed media store needs: identity that survives
+    // transcoding.
     "t_media_cross" -> { (s, dir) =>
       import s.implicits._
       val ids = docs(s, dir).select($"doc_id")
@@ -627,15 +628,41 @@ object SparkEntry {
           graft.ops.Multimodal.MediaRow(id, "binary",
             graft.ops.Multimodal.synthContentContainer(id)), // BMP
           graft.ops.Multimodal.MediaRow(id + 7000000L, "binary",
-            graft.ops.Multimodal.synthPngContent(id))) // PNG, same px
+            graft.ops.Multimodal.synthPngContent(id)), // PNG, same px
+          graft.ops.Multimodal.MediaRow(id + 8000000L, "binary",
+            graft.ops.Multimodal.synthGifContent(id))) // GIF, same px
       }
       val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
       val bmp = feats.filter($"format" === "bmp")
         .select($"media_id".as("bmp_id"), $"content_hash")
       val png = feats.filter($"format" === "png")
         .select($"media_id".as("png_id"), $"content_hash")
-      bmp.join(png, "content_hash")
-        .select($"bmp_id", $"png_id")
+      val gif = feats.filter($"format" === "gif")
+        .select($"media_id".as("gif_id"), $"content_hash")
+      bmp.join(png, "content_hash").join(gif, "content_hash")
+        .select($"bmp_id", $"png_id", $"gif_id")
+    },
+
+    // MEDIA-5: real LZW GIF decode. Payloads are full GIF89a files
+    // (scan-order palette, spec LZW with growing code widths) of the
+    // same pixel formulas; Spark must walk blocks, LZW-decode,
+    // palette-map and land the identical content hash + band
+    // embedding the oracle recomputes from the formulas — the last
+    // compressed still format closed with nothing but the spec
+    // (JPEG stays a documented permanent stub: lossy).
+    "t_media_gif" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthGifContent(id))
+        }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val embCols = (0 until 8).map(d =>
+        element_at($"embedding", d + 1).cast("long").as(s"e$d"))
+      feats.select(
+        ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
     },
 
     "t_media_content" -> { (s, dir) =>
@@ -1745,10 +1772,15 @@ object SparkEntry {
     // there through chunk CRCs, inflate and the five PNG filters
     "t_media_png" -> pngContentOracleSql,
 
-    // the planted cross-format pairing IS the expectation: transcode
+    // MEDIA-5: the same pixel formulas recomputed — Spark must get
+    // there through the block walk, LZW and the palette
+    "t_media_gif" -> gifContentOracleSql,
+
+    // the planted cross-format tripling IS the expectation: transcode
     // must preserve content identity, byte identity be damned
     "t_media_cross" ->
-      ("SELECT doc_id AS bmp_id, doc_id + 7000000 AS png_id " +
+      ("SELECT doc_id AS bmp_id, doc_id + 7000000 AS png_id, " +
+        "doc_id + 8000000 AS gif_id " +
         "FROM documents WHERE doc_id % 2 = 0"),
 
     // the planted construction IS the expected retrieval: twin id+5e6
@@ -2371,11 +2403,12 @@ object SparkEntry {
       "SELECT media_id, " + toSigned("hh") + " AS content_hash, " +
       "count(*) OVER (PARTITION BY hh) > 1 AS is_dup FROM allm"
 
-  /** MEDIA-4 oracle: every doc is a full compressed PNG of the SAME
-    * pixel formulas as the BMP corpus (no %2 split), so the expected
-    * hash+bands are the BMP-branch recomputation over all ids.
+  /** MEDIA-4/MEDIA-5 oracle: every doc is a full compressed container
+    * (PNG or GIF) of the SAME pixel formulas as the BMP corpus (no %2
+    * split), so the expected hash+bands are the BMP-branch
+    * recomputation over all ids — only the format label differs.
     */
-  private lazy val pngContentOracleSql: String = {
+  private def lumaFormulaOracleSql(fmt: String): String = {
     val bands = (0 until 8).map { d =>
       val sel = s"list_filter(idx, i -> (i//w)*8//h = $d)"
       s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +
@@ -2389,10 +2422,14 @@ object SparkEntry {
       "bh AS (SELECT doc_id, " +
       fnv(s"list_transform(idx, i -> $luma::HUGEINT)") +
       s" AS hh, $bands FROM bi) " +
-      "SELECT doc_id AS media_id, 'png' AS format, " +
+      s"SELECT doc_id AS media_id, '$fmt' AS format, " +
       toSigned("hh") + " AS content_hash, " +
       (0 until 8).map(d => s"e$d").mkString(", ") + " FROM bh"
   }
+  private lazy val pngContentOracleSql: String =
+    lumaFormulaOracleSql("png")
+  private lazy val gifContentOracleSql: String =
+    lumaFormulaOracleSql("gif")
 
   private lazy val mediaContentOracleSql: String = {
     val bmpBands = (0 until 8).map { d =>

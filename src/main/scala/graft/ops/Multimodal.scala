@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *  - MEDIA-2: pixel/sample CONTENT is decoded for real for
   *    uncompressed 24-bit BMP and 16-bit PCM WAV (see
   *    `decodeBmpContent`/`decodeWavContent`) — integer 8-band
-  *    embeddings + FNV-1a content hashes; COMPRESSED formats
-  *    (png/gif/jpeg payload streams) keep the labeled stub — this
-  *    container ships no image/audio libraries; swap that branch for a
-  *    real codec (e.g. TwelveMonkeys/JavaCV) in production;
+  *    embeddings + FNV-1a content hashes; MEDIA-4 decodes compressed
+  *    PNG for real (JDK Inflater) and MEDIA-5 decodes GIF for real
+  *    (hand-rolled spec LZW); JPEG content is a PERMANENT labeled stub
+  *    (lossy DCT admits no formula-exact contract — see
+  *    extractFeatures) whose production swap point is a real codec
+  *    (e.g. TwelveMonkeys/JavaCV);
   *  - stills (png/bmp/jpeg) report n_frames = 1; GIF reports its image-
   *    descriptor count from the block walk (animated GIFs get real
   *    frame counts, min 1); WAV reports data-chunk sample frames
@@ -192,9 +194,9 @@ object Multimodal {
     *    16-bit samples (band of sample i = i*8/n), each the floor-mean
     *    ABSOLUTE sample value.
     * All arithmetic is integer, so a SQL oracle recomputes the values
-    * exactly from the synthesis formulas. Compressed formats (png/gif/
-    * jpeg deflate/LZW/DCT payloads) stay on the labeled stub — the
-    * documented swap point for a real codec.
+    * exactly from the synthesis formulas. PNG and GIF get the same
+    * contract via their real decoders (MEDIA-4/MEDIA-5); JPEG stays on
+    * the labeled stub — the documented swap point for a real codec.
     */
   def decodeBmpContent(b: Array[Byte]): Option[(Long, Seq[Float])] = {
     if (b.length < 54 || !ascii(b, 0, "BM") || le32(b, 14) != 40L)
@@ -367,6 +369,14 @@ object Multimodal {
           case "bmp" => decodeBmpContent(m.payload)
           case "wav" => decodeWavContent(m.payload)
           case "png" => decodePngContent(m.payload) // MEDIA-4 (DEFLATE)
+          case "gif" => decodeGifContent(m.payload) // MEDIA-5 (LZW)
+          // JPEG: PERMANENT content stub by design (MEDIA-1 header
+          // parse stays real). Baseline JPEG is LOSSY — quantized DCT
+          // coefficients round-trip to DIFFERENT pixels, so no
+          // formula-exact cross-engine content contract exists to
+          // freeze, unlike the bit-exact BMP/WAV/PNG/GIF decoders.
+          // Production swap point: a real codec (e.g. TwelveMonkeys)
+          // replacing this branch, with a codec-pinned contract.
           case _     => None
         }).getOrElse((stub._4, stub._5))
         MediaFeatures(m.media_id, m.kind, fmt, m.payload.length.toLong,
@@ -734,6 +744,330 @@ object Multimodal {
     }
     Some((hash, (0 until 8).map(d =>
       if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat)))
+  }
+
+  // ---- MEDIA-5: real GIF content decode (pure-JDK LZW) ----------------
+  // The zero-egress constraint excludes codec JARs, not algorithms from
+  // the published spec: GIF's LZW (GIF89a spec appendix F) is a
+  // dictionary coder a few dozen lines long — the same "the JDK is
+  // enough" precedent as MEDIA-4's Inflater PNG path.
+
+  /** MEDIA-5 frozen content contract for GIF (87a/89a, first image
+    * descriptor): block walk to the first image descriptor, LZW-decode
+    * its sub-block stream (variable-width codes LSB-first, CLEAR/EOI
+    * handling, KwKwK case, 12-bit dictionary cap), undo the 4-pass
+    * interlace row order when the interlace flag is set, map indices
+    * through the active (local-over-global) color table, then the SAME
+    * content contract as BMP/PNG — integer luma (299r+587g+114b)/1000
+    * per pixel, FNV-1a over top-down row-major luma bytes, 8 row-band
+    * floor-mean embedding over the frame's own height. Cross-format
+    * identity: a GIF, BMP and PNG of the same pixels share the content
+    * hash (interlaced or not — interlace is a storage order, not
+    * content). Returns None (stub fallback) on: missing color table,
+    * out-of-palette indices, invalid/overflowing codes, or a decoded
+    * pixel count != w*h. Later frames of an animated GIF are
+    * metadata-only (frame COUNT via MEDIA-1) — first-frame content
+    * identity is the dedup contract.
+    */
+  def decodeGifContent(b: Array[Byte]): Option[(Long, Seq[Float])] = {
+    if (b.length < 13 ||
+      !(ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))) return None
+    var p = 13
+    var gctOff = -1
+    var gctCount = 0
+    if ((u8(b, 10) & 0x80) != 0) {
+      gctOff = p; gctCount = 1 << ((u8(b, 10) & 7) + 1)
+      p += 3 * gctCount
+    }
+    // walk to the first image descriptor
+    def skipSubBlocks(): Boolean = {
+      while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+      if (p >= b.length) false else { p += 1; true }
+    }
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x21 =>
+          p += 2
+          if (!skipSubBlocks()) return None
+        case 0x2C =>
+          if (p + 10 > b.length) return None
+          val fw = le16(b, p + 5)
+          val fh = le16(b, p + 7)
+          val packed = u8(b, p + 9)
+          val interlaced = (packed & 0x40) != 0
+          p += 10
+          var palOff = gctOff
+          var palCount = gctCount
+          if ((packed & 0x80) != 0) {
+            palCount = 1 << ((packed & 7) + 1)
+            palOff = p
+            p += 3 * palCount
+          }
+          if (palOff < 0 || palOff + 3 * palCount > b.length) return None
+          if (fw <= 0 || fh <= 0 || fw.toLong * fh > (1L << 26))
+            return None
+          if (p >= b.length) return None
+          val mcs = u8(b, p); p += 1
+          if (mcs < 2 || mcs > 11) return None
+          // concatenate the LZW sub-block stream
+          val data = new java.io.ByteArrayOutputStream()
+          var ok = true
+          while (ok && p < b.length && u8(b, p) != 0) {
+            val n = u8(b, p)
+            if (p + 1 + n > b.length) ok = false
+            else { data.write(b, p + 1, n); p += 1 + n }
+          }
+          if (!ok) return None
+          val idx = lzwDecode(data.toByteArray, mcs, fw * fh)
+            .getOrElse(return None)
+          if (idx.length != fw * fh) return None
+          // interlace is a storage row order: sequential scanline s
+          // holds display row rowOf(s) (4 passes: 8k, 8k+4, 4k+2,
+          // 2k+1 per the spec); invert it so the hash/bands run in
+          // top-down DISPLAY order and interlaced/non-interlaced
+          // encodings of the same pixels land the same content hash
+          val seqRowOfY = new Array[Int](fh)
+          if (interlaced) {
+            var s = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                 y <- start until fh by step) {
+              seqRowOfY(y) = s; s += 1
+            }
+          } else {
+            var y = 0
+            while (y < fh) { seqRowOfY(y) = y; y += 1 }
+          }
+          // palette map + the shared luma/hash/band contract
+          var hash = 0xCBF29CE484222325L
+          val sums = new Array[Long](8)
+          val cnts = new Array[Long](8)
+          var y = 0
+          while (y < fh) {
+            val rowBase = seqRowOfY(y) * fw
+            val band = (y.toLong * 8 / fh).toInt
+            var x = 0
+            while (x < fw) {
+              val ci = idx(rowBase + x) & 0xFFF
+              if (ci >= palCount) return None
+              val off = palOff + 3 * ci
+              val luma = (299 * u8(b, off) + 587 * u8(b, off + 1) +
+                114 * u8(b, off + 2)) / 1000
+              hash ^= luma
+              hash *= 0x100000001B3L
+              sums(band) += luma
+              cnts(band) += 1
+              x += 1
+            }
+            y += 1
+          }
+          return Some((hash, (0 until 8).map(d =>
+            if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat)))
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW decode: variable-width codes packed LSB-first,
+    * CLEAR resets the dictionary, EOI terminates, KwKwK handled, code
+    * width grows when the next free slot reaches the width capacity
+    * (12-bit cap — beyond it codes keep flowing at 12 bits with no new
+    * entries, per the spec). Output is CAPPED at `maxOut` indices:
+    * hostile streams cannot allocate beyond the declared frame size.
+    */
+  private[ops] def lzwDecode(data: Array[Byte], mcs: Int,
+      maxOut: Int): Option[Array[Short]] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Short](maxOut)
+    var outLen = 0
+    val stack = new Array[Byte](4097)
+    var codeSize = mcs + 1
+    var next = eoi + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var pos = 0
+    // emit one dictionary chain (walk to root, then unwind)
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { // composite entries only; literals < clear
+        if (sp >= stack.length) return false // cycle guard
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (outLen + 1 + sp > maxOut) return false
+      out(outLen) = c.toShort; outLen += 1
+      while (sp > 0) {
+        sp -= 1
+        out(outLen) = (stack(sp) & 0xFF).toShort; outLen += 1
+      }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      var guard = 0
+      while (c >= clear && guard <= 4096) { c = prefix(c); guard += 1 }
+      c
+    }
+    while (true) {
+      while (accBits < codeSize) {
+        if (pos >= data.length) return None // ran out before EOI
+        acc |= (data(pos) & 0xFFL) << accBits
+        pos += 1
+        accBits += 8
+      }
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      accBits -= codeSize
+      if (code == clear) {
+        next = eoi + 1
+        codeSize = mcs + 1
+        prev = -1
+      } else if (code == eoi) {
+        return Some(java.util.Arrays.copyOf(out, outLen))
+      } else if (prev < 0) {
+        // first code after a clear must be a literal
+        if (code >= clear) return None
+        if (outLen >= maxOut) return None
+        out(outLen) = code.toShort; outLen += 1
+        prev = code
+      } else if (code == next) { // KwKwK: entry defined by this code
+        if (next >= 4096) return None
+        prefix(next) = prev
+        suffix(next) = firstByte(prev).toByte
+        next += 1
+        if (!emit(code)) return None
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      } else {
+        // defined literal [0, clear) or composite (eoi, next)
+        if (code > next || (code >= clear && code <= eoi)) return None
+        if (!emit(code)) return None
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstByte(code).toByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW encode (synthesis side): CLEAR first, standard
+    * dictionary build, codes packed LSB-first at growing widths — the
+    * exact mirror of lzwDecode's growth rule. Resets with CLEAR when
+    * the dictionary fills (never hit by the tiny test frames, but the
+    * encoder is spec-complete).
+    */
+  private[ops] def lzwEncode(indices: Array[Int], mcs: Int)
+      : Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var codeSize = mcs + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += codeSize
+      while (accBits >= 8) {
+        out.write((acc & 0xFF).toInt)
+        acc >>>= 8
+        accBits -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = eoi + 1
+    put(clear)
+    var cur = -1
+    var i = 0
+    while (i < indices.length) {
+      val k = indices(i)
+      if (cur < 0) cur = k
+      else dict.get((cur, k)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          // width grows when the PRE-add next reaches capacity — one
+          // code later than the decoder's post-add rule, compensating
+          // the decoder's dictionary being one entry behind the
+          // encoder at read time (the classic LZW sync point; same
+          // order as giflib's emit -> grow-check -> add)
+          if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (next < 4096) {
+            dict((cur, k)) = next
+            next += 1
+          } else { // dictionary full: reset (decoder mirrors on CLEAR)
+            put(clear)
+            dict = scala.collection.mutable.HashMap.empty
+            next = eoi + 1
+            codeSize = mcs + 1
+          }
+          cur = k
+      }
+      i += 1
+    }
+    if (cur >= 0) put(cur)
+    put(eoi)
+    if (accBits > 0) out.write((acc & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** A real compressed GIF89a with content for id: the SAME pixels as
+    * synthContentContainer/synthPngContent (formulas synthContentPixel,
+    * dims synthContentDims — at most 16x14 = 224 pixels, so the frame
+    * always fits a 256-entry palette), global color table of the
+    * distinct colors in first-appearance scan order, one non-interlaced
+    * full-frame image descriptor, LZW-compressed index stream in
+    * <=255-byte sub-blocks. A decoder bug anywhere (bit unpacking,
+    * width growth, palette mapping) breaks the formula oracle AND the
+    * three-way cross-format identity with BMP/PNG.
+    */
+  def synthGifContent(id: Long): Array[Byte] = {
+    val (w, h) = synthContentDims(id)
+    val colorOrder = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Int, Int), Int]
+    val indices = new Array[Int](w * h)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = synthContentPixel(id, x, y)
+      indices(i) = colorOrder.getOrElseUpdate(px, colorOrder.size)
+      i += 1
+    }
+    val nColors = colorOrder.size
+    // color-table sizes are powers of two >= 2; mcs >= 2 per the spec
+    var depth = 1
+    while ((1 << depth) < nColors) depth += 1
+    val mcs = math.max(2, depth)
+    val tableSize = 1 << mcs
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xFF))
+    def s(str: String): Unit = str.foreach(c => out.write(c.toInt))
+    def le16(v: Int): Unit = b(v, v >>> 8)
+    s("GIF89a"); le16(w); le16(h)
+    b(0x80 | (mcs - 1)) // GCT present, 2^mcs entries
+    b(0, 0) // background index, no aspect ratio
+    colorOrder.keysIterator.foreach { case (r, g, bl) => b(r, g, bl) }
+    for (_ <- nColors until tableSize) b(0, 0, 0) // pad table
+    b(0x2C); le16(0); le16(0); le16(w); le16(h); b(0) // descriptor
+    b(mcs)
+    val lzw = lzwEncode(indices, mcs)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      b(n); out.write(lzw, off, n)
+      off += n
+    }
+    b(0x00) // block terminator
+    b(0x3B) // trailer
+    out.toByteArray
   }
 
   /** A sampled frame reference with stub-resized dimensions. */

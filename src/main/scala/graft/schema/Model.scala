@@ -109,6 +109,12 @@ object Versions {
     * java.util.zip.Inflater, all five scanline filters; same content
     * contract as BMP (luma FNV-1a + 8 row-band floor means). v2/v3
     * decode rules for BMP/WAV are unchanged.
+    * v5 (MEDIA-5): real GIF content decode (spec LZW with growing
+    * code widths, CLEAR/EOI/KwKwK, 4-pass interlace row de-ordering,
+    * local-over-global palette); same luma content contract, so GIF
+    * joins the BMP/PNG cross-format identity. JPEG content is a
+    * PERMANENT stub (lossy DCT admits no formula-exact contract);
+    * prior formats unchanged.
     */
-  val MediaVersion = "v4"
+  val MediaVersion = "v5"
 }

@@ -205,6 +205,97 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.synthContainer(0L)).isEmpty)
   }
 
+  test("MEDIA-5: GIF LZW decode recovers the synthesis formulas and " +
+    "agrees with the PNG decode of the same pixels") {
+    for (id <- 0L until 60L) {
+      val got = Multimodal.decodeGifContent(Multimodal.synthGifContent(id))
+      assert(got.isDefined, s"id=$id gif undecoded")
+      // formula recompute (the BMP/PNG content contract)
+      val (w, h) = Multimodal.synthContentDims(id)
+      var hash = 0xCBF29CE484222325L
+      val sums = new Array[Long](8)
+      val cnts = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthContentPixel(id, x, y)
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        hash ^= luma; hash *= 0x100000001B3L
+        sums(y * 8 / h) += luma; cnts(y * 8 / h) += 1
+      }
+      val expEmb = (0 until 8).map(d =>
+        if (cnts(d) == 0) 0f else (sums(d) / cnts(d)).toFloat)
+      assert(got.get._1 == hash, s"id=$id hash")
+      assert(got.get._2 == expEmb, s"id=$id bands")
+      // three-way cross-format identity
+      val png = Multimodal.decodePngContent(Multimodal.synthPngContent(id))
+      assert(png.get._1 == got.get._1, s"id=$id gif!=png")
+    }
+  }
+
+  test("MEDIA-5 independence: the JDK's own ImageIO GIF codec decodes " +
+    "our encoder's output to the formula pixels, and our decoder reads " +
+    "ImageIO's encoder output — no shared-bug circularity") {
+    for (id <- Seq(0L, 3L, 7L, 12L, 31L, 58L)) {
+      val (w, h) = Multimodal.synthContentDims(id)
+      // our encoder -> ImageIO decoder
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthGifContent(id)))
+      assert(img.getWidth == w && img.getHeight == h, s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthContentPixel(id, x, y)
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) ==
+          ((r, g, b)), s"id=$id pixel ($x,$y)")
+      }
+      // ImageIO encoder -> our decoder: render the same pixels into an
+      // indexed image and let the JDK write the GIF (its own palette +
+      // its own LZW encoder)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthContentPixel(id, x, y)
+        out.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(out, "gif", buf))
+      val ours = Multimodal.decodeGifContent(buf.toByteArray)
+      val exp = Multimodal.decodeGifContent(Multimodal.synthGifContent(id))
+      assert(ours.isDefined, s"id=$id imageio gif undecoded by us")
+      assert(ours.get._1 == exp.get._1, s"id=$id imageio-gif hash")
+    }
+  }
+
+  test("MEDIA-5: interlace is honored as a row order, and hostile GIF " +
+    "bytes fall back to the stub (None), never throw or hang") {
+    // flipping the interlace flag on a sequentially-stored stream must
+    // REORDER rows (different hash), not fail — the decoder reads the
+    // flag for real
+    val g = Multimodal.synthGifContent(4L) // h=8: nontrivial reorder
+    val descIdx = g.indexWhere(_ == 0x2C.toByte, 13)
+    val interlaced = g.clone()
+    interlaced(descIdx + 9) = (interlaced(descIdx + 9) | 0x40).toByte
+    val straight = Multimodal.decodeGifContent(g)
+    val reordered = Multimodal.decodeGifContent(interlaced)
+    assert(reordered.isDefined)
+    assert(reordered.get._1 != straight.get._1)
+    // fuzz: random garbage, truncations, mutations
+    val r = new java.util.Random(177)
+    for (_ <- 0 until 1000) {
+      val b = new Array[Byte](r.nextInt(300))
+      r.nextBytes(b)
+      Multimodal.decodeGifContent(b)
+    }
+    for (id <- 0L until 25L) {
+      val valid = Multimodal.synthGifContent(id)
+      for (cut <- 0 until valid.length by 7)
+        Multimodal.decodeGifContent(valid.take(cut))
+      for (_ <- 0 until 60) {
+        val m = valid.clone()
+        m(r.nextInt(m.length)) = r.nextInt(256).toByte
+        Multimodal.decodeGifContent(m) // any result, no throw/hang
+      }
+    }
+  }
+
   test("MEDIA-2: WAV PCM decode recovers the synthesis formulas " +
     "(LE 16-bit words, signed)") {
     for (id <- Seq(1L, 3L, 77L, 149L)) {
