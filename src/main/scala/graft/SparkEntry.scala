@@ -1244,6 +1244,121 @@ object SparkEntry {
         cleanseCorpus(s, dir).toDF("id", "text"), config)
     },
 
+    // CONVERSATION-level dedup: real curation dedupes whole
+    // conversations, not turns. Documents group into convs of 4
+    // ordered turns; reassembly is ONE aggregation (turn order
+    // restored inside the aggregated array — array_sort on the
+    // (turn_key, text) struct — no window, no second shuffle); every
+    // conv gets a planted near-dup twin (tail turn appended); minhash
+    // at conversation granularity + connected components must keep
+    // exactly the canonical conv of each twin pair. The oracle
+    // reassembles identically in SQL and recomputes exact jaccard +
+    // transitive closure.
+    "t_dedup_conv" -> { (s, dir) =>
+      import s.implicits._
+      val convs = docs(s, dir)
+        .groupBy(expr("doc_id DIV 4").as("id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct($"doc_id", $"text"))),
+          x => x("text"))).as("text"))
+      val corpus = convs.union(convs.select(
+          ($"id" + 1000000L).as("id"),
+          concat($"text", lit(" graft conv tail one")).as("text")))
+        .as[(Long, String)]
+      val pairs = graft.ops.MinHashDedup.nearDuplicates(s, corpus,
+        threshold = 0.9)
+      graft.ops.Clusters.keepers(s, pairs,
+        corpus.toDF("id", "text").select($"id"))
+        .select($"id", $"is_keeper")
+    },
+
+    // SNAPSHOT-INCREMENTAL RESUME under the oracle (the north rule's
+    // "resumable from checkpoint" as a driver gate, not just a unit
+    // test): the doc-turn corpus staged as 8 conv-partitioned input
+    // files; increment r1 sees only the first 4 and commits; a crashed
+    // increment stages an ORPHAN run directory WITHOUT committing (the
+    // crash window); increment r2 sees all 8 and must process exactly
+    // the 4 new files; replaying r2 is a no-op. readCommitted must
+    // union exactly r1+r2 — orphan invisible — and equal a single-shot
+    // run over all 8 files row for row. The emitted row carries the
+    // counts the oracle predicts as literals: any resume bug
+    // (reprocessed file, lost file, duplicated rows, orphan leak)
+    // flips a value.
+    "x_resume" -> { (s, dir) =>
+      import s.implicits._
+      import graft.schema.Turn
+      val tmp = scratchDir("resume")
+      // conv-partitioned staging: a conversation (and its planted
+      // stale duplicates) never straddles increments, so per-increment
+      // dedupe composes to the global dedupe of the single-shot run
+      docTurns(s, dir).toDF().repartition(8, $"conv_id")
+        .write.mode("overwrite").parquet(s"$tmp/all")
+      val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+      val parts = new java.io.File(s"$tmp/all").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      def reveal(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(inDir, f.getName).toPath)
+      }
+      val out = s"$tmp/out"
+      val state = s"$tmp/state"
+      reveal(parts.take(4))
+      val n1 = graft.pipe.Checkpoint.runIncremental(s, inDir.toString, out, state,
+        "r1")
+      // crash window: a staged-but-never-committed run directory
+      s.read.parquet(s"$out/extracted/run=r1")
+        .write.mode("overwrite").parquet(s"$out/extracted/run=zz-orphan")
+      reveal(parts.drop(4))
+      val n2 = graft.pipe.Checkpoint.runIncremental(s, inDir.toString, out, state,
+        "r2")
+      val n3 = graft.pipe.Checkpoint.runIncremental(s, inDir.toString, out, state,
+        "r2") // replay after commit: must be a 0-file no-op
+      val manifest = graft.pipe.Checkpoint.readManifest(s, state)
+      val resumed = graft.pipe.Checkpoint.readCommitted(s, out, state, "extracted")
+      val (single, _) = Job.run(s,
+        s.read.parquet(inDir.toString).as[Turn], "single",
+        orderOutput = false)
+      val diff = resumed.except(single.toDF()).count() +
+        single.toDF().except(resumed).count()
+      val delta = resumed.count() - single.toDF().count()
+      s.range(1).select(
+        lit(n1).as("files_run1"), lit(n2).as("files_run2"),
+        lit(n3).as("files_replay"),
+        lit(manifest.files.size).as("manifest_files"),
+        lit(manifest.runs.size).as("committed_runs"),
+        lit(diff).as("diff_count"), lit(delta).as("row_delta"))
+    },
+
+    // the JSON-assembled MEDIA pipeline: the same twin-planted corpus
+    // as t_media_dedup, but decode + content-hash dedup are assembled
+    // from config (media_features -> dedupe_media -> select) instead
+    // of hand-written — and must land the IDENTICAL product under the
+    // identical oracle, proving the config surface covers the
+    // multimodal arm as it already covers the text arm
+    "x_config_media" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long]
+        .flatMap { id =>
+          val base = graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContentContainer(id))
+          if (id % 3 == 0)
+            Seq(base, graft.ops.Multimodal.MediaRow(id + 5000000L,
+              "binary", graft.ops.Multimodal.synthContentTwin(id)))
+          else Seq(base)
+        }
+      val config =
+        """[
+          {"step": "media_features",
+           "config": {"id": "media_id", "payload": "payload",
+                      "kind": "kind", "mode": "content"}},
+          {"step": "dedupe_media",
+           "config": {"hash": "content_hash", "out": "is_dup"}},
+          {"step": "select",
+           "config": {"cols": ["media_id", "content_hash", "is_dup"]}}
+        ]"""
+      graft.pipe.ConfigPipeline.runOps(s, media.toDF(), config)
+    },
+
     // the DAILY-BATCH composition — the day-2 shape of the flagship
     // curation run (t_corpus_cleanse is day 0 over the full corpus):
     // sign the history into a persisted band index, dedupe the
@@ -1796,6 +1911,49 @@ object SparkEntry {
         "WHERE doc_id % 3 = 0"),
 
     "t_media_dedup" -> mediaDedupOracleSql,
+
+    // config assembly must land the hand-written product exactly
+    "x_config_media" -> mediaDedupOracleSql,
+
+    // conversation reassembly + exact jaccard + recursive transitive
+    // closure, all in SQL: keepers are cluster minima
+    "t_dedup_conv" ->
+      ("WITH RECURSIVE conv AS (SELECT doc_id // 4 AS id, " +
+        "string_agg(text, ' ' ORDER BY doc_id) AS text " +
+        "FROM documents GROUP BY 1), " +
+        "corpus AS (SELECT id, text FROM conv " +
+        "UNION ALL SELECT id + 1000000, " +
+        "text || ' graft conv tail one' FROM conv), " +
+        "tk AS (SELECT id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
+        "sh AS (SELECT DISTINCT id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT id, " +
+        "ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tk)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b USING (s) WHERE a.id < b.id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b " +
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT id AS src, id AS dst FROM corpus " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e " +
+        "ON r.dst = e.a), " +
+        "keep AS (SELECT src AS id FROM reach GROUP BY src " +
+        "HAVING src = min(dst)) " +
+        "SELECT c.id, c.id IN (SELECT id FROM keep) AS is_keeper " +
+        "FROM corpus c"),
+
+    // the resume contract as literals: 4 new files per increment, 0 on
+    // replay, 8 manifest files over 2 committed runs, zero row diff
+    // between the resumed union and the single-shot run, orphan
+    // directory invisible
+    "x_resume" ->
+      ("SELECT 4::INT AS files_run1, 4::INT AS files_run2, " +
+        "0::INT AS files_replay, 8::INT AS manifest_files, " +
+        "2::INT AS committed_runs, 0::BIGINT AS diff_count, " +
+        "0::BIGINT AS row_delta"),
 
     // mirrors frameSample(every=2, maxFrames=8, target=64) over the
     // synthesis formulas: per media, indices 0,2,... below the frame

@@ -143,6 +143,77 @@ object ConfigPipeline {
           df.join(keep, Seq(idCol), "left_semi")
         }
       },
+      // MEDIA-1..5 feature extraction over a binary payload column:
+      // mode "content" (header parse + real BMP/WAV/PNG/GIF content
+      // decode, stub otherwise) or "header" (metadata only — never
+      // attempts content decode; the 100 TB metadata-scan shape)
+      "media_features" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "media_id")
+        val payloadCol = str(cfg, "payload", "payload")
+        val kindCol = str(cfg, "kind", "")
+        val mode = str(cfg, "mode", "content")
+        if (mode != "content" && mode != "header")
+          throw new ConfigError(
+            s"media_features: mode must be 'content' or 'header', got '$mode'")
+        df => {
+          import s.implicits._
+          val payType = df.schema.fields.find(_.name == payloadCol)
+            .getOrElse(throw new ConfigError(
+              s"media_features: no column '$payloadCol'")).dataType
+          if (payType != org.apache.spark.sql.types.BinaryType)
+            throw new ConfigError(
+              s"media_features: '$payloadCol' must be binary, got " +
+                payType.catalogString)
+          val kindExpr =
+            if (kindCol.isEmpty) lit("binary") else col(kindCol)
+          val rows = df.select(col(idCol).cast("long").as("media_id"),
+            kindExpr.as("kind"), col(payloadCol).as("payload"))
+            .as[graft.ops.Multimodal.MediaRow]
+          if (mode == "header")
+            graft.ops.Multimodal.extractHeaders(s, rows).toDF()
+          else graft.ops.Multimodal.extractFeatures(s, rows).toDF()
+        }
+      },
+      // content-based media dedup marking: window count over a content
+      // hash column (composes after media_features — the slim (id,
+      // hash) projection is what moves through the window exchange)
+      "dedupe_media" -> { (_, cfg) =>
+        val hashCol = str(cfg, "hash", "content_hash")
+        val out = str(cfg, "out", "is_dup")
+        df => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(hashCol))
+          df.withColumn(out, count(lit(1)).over(w) > 1)
+        }
+      },
+      // ANN top-k retrieval within one table: rows satisfying
+      // `queries_expr` are the query set, the rest the corpus; modes
+      // lsh (scale path) / ivf / brute (oracle baseline). Output is
+      // (qid, rank, id).
+      "ann_topk" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "media_id")
+        val vecCol = str(cfg, "vec", "embedding")
+        val qExpr = str(cfg, "queries_expr")
+        val k = num(cfg, "k", 1).toInt
+        val dim = num(cfg, "dim", 8).toInt
+        val mode = str(cfg, "mode", "lsh")
+        df => {
+          val corpus = df.filter(!expr(qExpr))
+            .select(col(idCol).cast("long").as("id"),
+              col(vecCol).as("vec"))
+          val queries = df.filter(expr(qExpr))
+            .select(col(idCol).cast("long").as("qid"),
+              col(vecCol).as("qvec"))
+          mode match {
+            case "lsh" => graft.ops.Ann.lshTopK(s, corpus, queries, k, dim)
+            case "ivf" => graft.ops.Ann.ivfTopK(s, corpus, queries, k, dim)
+            case "brute" =>
+              graft.ops.Ann.bruteForceTopK(s, corpus, queries, k)
+            case other =>
+              throw new ConfigError(s"ann_topk: unknown mode '$other'")
+          }
+        }
+      },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>
         val group = strs(cfg, "group").map(col)

@@ -124,6 +124,62 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("integral"), e3.getMessage)
   }
 
+  test("runOps: media steps compose — media_features decodes content " +
+    "for real, dedupe_media marks content twins, ann_topk (lsh) " +
+    "recovers a planted twin from config alone") {
+    import spark.implicits._
+    val media = (0L until 12L).flatMap { id =>
+      val base = (id, "binary",
+        graft.ops.Multimodal.synthContentContainer(id))
+      if (id % 3 == 0)
+        Seq(base, (id + 1000L, "binary",
+          graft.ops.Multimodal.synthContentTwin(id)))
+      else Seq(base)
+    }.toDF("media_id", "kind", "payload")
+    val deduped = ConfigPipeline.runOps(spark, media,
+      """[
+        {"step": "media_features",
+         "config": {"id": "media_id", "payload": "payload",
+                    "kind": "kind"}},
+        {"step": "dedupe_media", "config": {}},
+        {"step": "select", "config": {"cols": ["media_id", "is_dup"]}}
+      ]""").collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    for (id <- 0L until 12L)
+      assert(deduped(id) == (id % 3 == 0), s"id=$id")
+    // header mode carries no content columns at all
+    val hdr = ConfigPipeline.runOps(spark, media,
+      """[{"step": "media_features",
+           "config": {"id": "media_id", "payload": "payload",
+                      "mode": "header"}}]""")
+    assert(!hdr.columns.contains("content_hash"))
+    assert(hdr.columns.contains("width"))
+    // ann_topk from config: twins (id >= 1000) as queries must
+    // retrieve exactly their base partner at rank 1
+    val hits = ConfigPipeline.runOps(spark, media,
+      """[
+        {"step": "media_features",
+         "config": {"id": "media_id", "payload": "payload"}},
+        {"step": "ann_topk",
+         "config": {"id": "media_id", "vec": "embedding",
+                    "queries_expr": "media_id >= 1000",
+                    "k": 1, "dim": 8, "mode": "lsh"}}
+      ]""").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (id <- 0L until 12L if id % 3 == 0)
+      assert(hits(id + 1000L) == id, s"twin of $id")
+    // non-binary payload and bad mode rejected with clear errors
+    val e = intercept[ConfigPipeline.ConfigError](
+      ConfigPipeline.runOps(spark,
+        Seq((1L, "nope")).toDF("media_id", "payload"),
+        """[{"step": "media_features",
+             "config": {"payload": "payload"}}]"""))
+    assert(e.getMessage.contains("binary"), e.getMessage)
+    val e2 = intercept[ConfigPipeline.ConfigError](
+      ConfigPipeline.runOps(spark, media,
+        """[{"step": "media_features",
+             "config": {"payload": "payload", "mode": "wat"}}]"""))
+    assert(e2.getMessage.contains("content"), e2.getMessage)
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
