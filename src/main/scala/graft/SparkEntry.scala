@@ -1130,9 +1130,11 @@ object SparkEntry {
       // char-8-gram jaccard flavor over the same twin corpus.
       // repartition: 8-grams make this the CPU-heaviest shingler (one
       // hash per CHARACTER position), so the single-file scan task is
-      // worth a shuffle to parallelize (measured 2.8 -> 1.7 s at
-      // sf0.1); the word-shingle siblings stay un-repartitioned —
-      // there the extra stage costs more than the parallelism pays
+      // worth a shuffle to parallelize; the word-shingle siblings stay
+      // un-repartitioned — there the extra stage costs more than the
+      // parallelism pays. Steady-state timing evidence lives in the
+      // bench artifact itself now (best-of-k min + spread) — no
+      // point-in-time numbers here, they rot (r4 lesson)
       val d = docs(s, dir).select($"doc_id", $"text")
         .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]

@@ -22,7 +22,11 @@ import org.apache.spark.sql.expressions.Window
   * OR-ing `nTables` tables plus multi-probe, not by coarser buckets.
   * Vectors are NOT carried through the bucket shuffle — only slim
   * (table, bucket, id) rows move; vectors are joined back for the
-  * candidate set alone.
+  * candidate set alone. Two guards keep the occupancy premise true on
+  * real data: vectors are CENTERED on the corpus mean before sign
+  * hashing (all-positive families otherwise collapse into a few
+  * orthant buckets), and over-`bucketCap` buckets are dropped
+  * (mass-duplicate clusters must not recreate the quadratic join).
   */
 object Ann {
 
@@ -97,7 +101,18 @@ object Ann {
       all.slice(t * nPlanes, (t + 1) * nPlanes))
   }
 
-  def signBucket(vec: Seq[Float], pl: Array[Array[Double]]): Int = {
+  def signBucket(vec: Seq[Float], pl: Array[Array[Double]]): Int =
+    signBucket(vec, pl, null)
+
+  /** Sign bucket of `vec - center` under the planes. Centering matters:
+    * random-hyperplane LSH assumes roughly origin-centered data, and an
+    * all-positive embedding family (luma band means, count features)
+    * otherwise collapses into a handful of sign buckets — the Probe19
+    * finding that made t_media_ann_lsh 64x slower at 10x data (the
+    * bucket join degenerates toward |corpus| x |queries|).
+    */
+  def signBucket(vec: Seq[Float], pl: Array[Array[Double]],
+      center: Array[Double]): Int = {
     var bucket = 0
     var p = 0
     while (p < pl.length) {
@@ -105,12 +120,47 @@ object Ann {
       var i = 0
       val row = pl(p)
       while (i < row.length && i < vec.length) {
-        dot += row(i) * vec(i); i += 1
+        val x =
+          if (center != null && i < center.length) vec(i) - center(i)
+          else vec(i).toDouble
+        dot += row(i) * x
+        i += 1
       }
       if (dot >= 0) bucket |= (1 << p)
       p += 1
     }
     bucket
+  }
+
+  /** Deterministic per-dimension corpus mean over the slim materialized
+    * projection: fixed-point long partial sums (associative — any
+    * treeAggregate merge order is bit-identical, the trainIvfCentroids
+    * pattern), one cheap pass over checkpointed ~40-byte rows. Used to
+    * center vectors before sign hashing; exact-duplicate pairs land in
+    * the same bucket under ANY center, so planted-twin recall is
+    * center-independent.
+    */
+  private def corpusCenter(corpusM: DataFrame, dim: Int)
+      : Array[Double] = {
+    val scale = 1048576.0 // 2^20 fixed point
+    val (sums, n) = corpusM.rdd.treeAggregate(
+      (new Array[Long](dim), 0L))(
+      seqOp = { case ((s, c), row) =>
+        val v = row.getSeq[Float](1)
+        var i = 0
+        val lim = math.min(dim, v.length)
+        while (i < lim) {
+          s(i) += math.round(v(i).toDouble * scale); i += 1
+        }
+        (s, c + 1)
+      },
+      combOp = { case ((s1, c1), (s2, c2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (s1, c1 + c2)
+      })
+    if (n == 0) new Array[Double](dim)
+    else sums.map(_ / scale / n)
   }
 
   @inline private def normalize(v: Seq[Float]): Array[Double] = {
@@ -340,7 +390,7 @@ object Ann {
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int, dim: Int, nTables: Int = 4, nPlanes: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, bucketCap: Int = 1024): DataFrame = {
     import spark.implicits._
     // slim inputs materialized once: corpus is consumed twice (bucket
     // pass + candidate re-join), queries twice (probes + rerank) —
@@ -354,25 +404,41 @@ object Ann {
         "large sides use EmbeddingDedup's banded LSH join instead")
     val pl = spark.sparkContext.broadcast(
       planeTables(nTables, nPlanes, dim, seed))
+    // center before hashing (see signBucket): one cheap pass over the
+    // checkpointed slim corpus
+    val ctr = spark.sparkContext.broadcast(corpusCenter(corpusM, dim))
 
     // slim (tbl, bucket, id) rows — vectors stay behind
     val corpusRows = corpusM.as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
         pl.value.iterator.zipWithIndex.map { case (t, ti) =>
-          (ti, signBucket(v, t), id)
+          (ti, signBucket(v, t, ctr.value), id)
         }
       }.toDF("tbl", "bucket", "id")
+
+    // count-capped buckets (the MinHashDedup/EmbeddingDedup pattern):
+    // a degenerate bucket — mass-duplicate content, residual sign
+    // collapse — must not recreate the quadratic join this index
+    // exists to avoid. Recall is re-won by the OTHER tables and the
+    // 1-bit probes; corpora with huge exact-duplicate clusters should
+    // run content-hash dedup first (the curation order anyway).
+    val keptBuckets = corpusRows.groupBy($"tbl", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" <= bucketCap)
+      .select($"tbl", $"bucket")
+    val keptRows = corpusRows.join(broadcast(keptBuckets),
+      Seq("tbl", "bucket"))
 
     val queryProbes = queriesM.as[(Long, Seq[Float])]
       .flatMap { case (qid, v) =>
         pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
-          val b = signBucket(v, t)
+          val b = signBucket(v, t, ctr.value)
           (Seq(b) ++ (0 until nPlanes).map(i => b ^ (1 << i)))
             .distinct.map(pb => (ti, pb, qid))
         }
       }.toDF("tbl", "bucket", "qid")
 
-    val cand = corpusRows.join(broadcast(queryProbes),
+    val cand = keptRows.join(broadcast(queryProbes),
         Seq("tbl", "bucket"))
       .filter($"id" =!= $"qid")
       .select($"qid", $"id").distinct()

@@ -443,6 +443,36 @@ class AnnSpec extends AnyFunSuite {
       s"corpus upstream executed ${acc.value}/40 times")
   }
 
+  test("lshTopK centers before hashing: an all-positive clustered " +
+    "corpus (the luma-band shape) spreads across buckets instead of " +
+    "collapsing into one orthant, and still finds its twin") {
+    import spark.implicits._
+    val r = new java.util.Random(5)
+    // band-mean-like vectors: every component in [100, 160] — without
+    // centering every hyperplane sees the same sign for all rows
+    val vs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(8)(100f + r.nextFloat() * 60)))
+    val pl = Ann.planeTables(1, 16, 8, 42L)(0)
+    val uncentered = vs.map { case (_, v) => Ann.signBucket(v, pl) }
+      .distinct.size
+    val mean = Array.tabulate(8)(d =>
+      vs.map(_._2(d).toDouble).sum / vs.length)
+    val centered = vs.map { case (_, v) => Ann.signBucket(v, pl, mean) }
+      .distinct.size
+    assert(uncentered <= 4, s"fixture not clustered enough: $uncentered")
+    assert(centered > 50,
+      s"centering failed to spread buckets: $centered")
+    // end to end: the exact twin is still rank-1 (equal vectors share
+    // every bucket under ANY center)
+    val twin = (999L, vs(7)._2)
+    val corpus = spark.createDataset(vs ++ Seq(twin)).toDF("id", "vec")
+    val queries = spark.createDataset(Seq(vs(7)))
+      .toDF("qid", "qvec")
+    val got = Ann.lshTopK(spark, corpus, queries, 1, dim = 8).collect()
+    assert(got.exists(r2 => r2.getInt(1) == 1 && r2.getLong(2) == 999L),
+      got.mkString(","))
+  }
+
   test("lshTopK refuses a corpus-sized query side instead of OOMing " +
     "the broadcast") {
     import spark.implicits._
