@@ -104,15 +104,27 @@ object Ann {
   def signBucket(vec: Seq[Float], pl: Array[Array[Double]]): Int =
     signBucket(vec, pl, null)
 
-  /** Sign bucket of `vec - center` under the planes. Centering matters:
-    * random-hyperplane LSH assumes roughly origin-centered data, and an
-    * all-positive embedding family (luma band means, count features)
-    * otherwise collapses into a handful of sign buckets — the Probe19
-    * finding that made t_media_ann_lsh 64x slower at 10x data (the
-    * bucket join degenerates toward |corpus| x |queries|).
+  /** Sign bucket of the vector's DIRECTION, centered: normalize to unit
+    * length, subtract `center` (the mean of the normalized corpus),
+    * project on the planes. Two properties, both load-bearing:
+    *  - normalize first: colinear vectors (scaled twins) normalize to
+    *    EQUAL vectors, so they share every bucket under ANY center —
+    *    the 0-flip recall guarantee survives centering (centering raw
+    *    vectors would break it: v and 1.03v minus the same mean are no
+    *    longer colinear);
+    *  - then center: random-hyperplane LSH assumes roughly
+    *    origin-centered data, and an all-positive embedding family
+    *    (luma band means, ReLU features, count vectors) otherwise
+    *    collapses into a handful of orthant buckets — the Probe19
+    *    finding that made t_media_ann_lsh 64x slower at 10x data (the
+    *    bucket join degenerates toward |corpus| x |queries|).
+    * With center == null the raw vector is projected directly —
+    * sign(plane . v) == sign(plane . v/|v|), so the legacy 2-arg path
+    * is the same bucket function, minus the normalize cost.
     */
   def signBucket(vec: Seq[Float], pl: Array[Array[Double]],
       center: Array[Double]): Int = {
+    val nv: Array[Double] = if (center == null) null else normalize(vec)
     var bucket = 0
     var p = 0
     while (p < pl.length) {
@@ -121,8 +133,8 @@ object Ann {
       val row = pl(p)
       while (i < row.length && i < vec.length) {
         val x =
-          if (center != null && i < center.length) vec(i) - center(i)
-          else vec(i).toDouble
+          if (center == null) vec(i).toDouble
+          else nv(i) - (if (i < center.length) center(i) else 0.0)
         dot += row(i) * x
         i += 1
       }
@@ -132,25 +144,23 @@ object Ann {
     bucket
   }
 
-  /** Deterministic per-dimension corpus mean over the slim materialized
-    * projection: fixed-point long partial sums (associative — any
-    * treeAggregate merge order is bit-identical, the trainIvfCentroids
-    * pattern), one cheap pass over checkpointed ~40-byte rows. Used to
-    * center vectors before sign hashing; exact-duplicate pairs land in
-    * the same bucket under ANY center, so planted-twin recall is
-    * center-independent.
+  /** Deterministic per-dimension mean of the NORMALIZED corpus
+    * directions over the slim materialized projection: fixed-point
+    * long partial sums (associative — any treeAggregate merge order is
+    * bit-identical, the trainIvfCentroids pattern), one cheap pass
+    * over checkpointed ~40-byte rows. Feeds signBucket's centering.
     */
-  private def corpusCenter(corpusM: DataFrame, dim: Int)
+  private[ops] def corpusCenter(corpusM: DataFrame, dim: Int)
       : Array[Double] = {
-    val scale = 1048576.0 // 2^20 fixed point
+    val scale = 1048576.0 * 1024 // 2^30 fixed point; |components| <= 1
     val (sums, n) = corpusM.rdd.treeAggregate(
       (new Array[Long](dim), 0L))(
       seqOp = { case ((s, c), row) =>
-        val v = row.getSeq[Float](1)
+        val nv = normalize(row.getSeq[Float](1))
         var i = 0
-        val lim = math.min(dim, v.length)
+        val lim = math.min(dim, nv.length)
         while (i < lim) {
-          s(i) += math.round(v(i).toDouble * scale); i += 1
+          s(i) += math.round(nv(i) * scale); i += 1
         }
         (s, c + 1)
       },
@@ -163,7 +173,7 @@ object Ann {
     else sums.map(_ / scale / n)
   }
 
-  @inline private def normalize(v: Seq[Float]): Array[Double] = {
+  @inline private[ops] def normalize(v: Seq[Float]): Array[Double] = {
     val a = new Array[Double](v.length)
     var s = 0.0
     var i = 0

@@ -41,15 +41,24 @@ object EmbeddingDedup {
 
   /** Slim (tbl, bucket, id, home) rows: the home bucket per table plus
     * the `nProbe` 1-bit probe buckets flipping the least-confident
-    * planes (ties broken by plane index — deterministic).
+    * planes (ties broken by plane index — deterministic). Vectors are
+    * hashed by DIRECTION, centered on the normalized-corpus mean (see
+    * Ann.signBucket): colinear twins still share every home bucket,
+    * while all-positive embedding families (ReLU features, count
+    * vectors, luma bands) no longer collapse into orthant mega-buckets
+    * that the cap would then drop wholesale — the silent-recall-loss
+    * twin of the Probe19 quadratic-join finding.
     */
   private def probeRows(spark: SparkSession, corpus: DataFrame, dim: Int,
-      nTables: Int, nPlanes: Int, nProbe: Int, seed: Long): DataFrame = {
+      nTables: Int, nPlanes: Int, nProbe: Int, seed: Long,
+      center: Array[Double]): DataFrame = {
     import spark.implicits._
     val pl = spark.sparkContext.broadcast(
       Ann.planeTables(nTables, nPlanes, dim, seed))
+    val ctr = spark.sparkContext.broadcast(center)
     corpus.as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
+        val nv = Ann.normalize(v)
         pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
           val dots = new Array[Double](nPlanes)
           var b = 0
@@ -58,8 +67,10 @@ object EmbeddingDedup {
             var dot = 0.0
             var i = 0
             val row = t(p)
-            while (i < row.length && i < v.length) {
-              dot += row(i) * v(i); i += 1
+            val c = ctr.value
+            while (i < row.length && i < nv.length) {
+              val x = nv(i) - (if (i < c.length) c(i) else 0.0)
+              dot += row(i) * x; i += 1
             }
             dots(p) = dot
             if (dot >= 0) b |= (1 << p)
@@ -94,7 +105,7 @@ object EmbeddingDedup {
       "nProbe in [0, nPlanes], or -1 for all planes")
     val probes = if (nProbe == -1) nPlanes else nProbe
     val rows = probeRows(spark, corpus, dim, nTables, nPlanes, probes,
-      seed)
+      seed, Ann.corpusCenter(corpus, dim))
 
     // count pass first: degenerate buckets pruned before materializing;
     // the optional ledger observes the drops on this same pass
@@ -142,7 +153,8 @@ object EmbeddingDedup {
     require(nProbe == -1 || (nProbe >= 0 && nProbe <= nPlanes),
       "nProbe in [0, nPlanes], or -1 for all planes")
     probeRows(spark, corpus, dim, nTables, nPlanes,
-      if (nProbe == -1) nPlanes else nProbe, seed)
+      if (nProbe == -1) nPlanes else nProbe, seed,
+      Ann.corpusCenter(corpus, dim))
       .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("n"))
       .filter($"n" > bucketCap)
   }

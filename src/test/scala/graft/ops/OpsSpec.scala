@@ -304,6 +304,28 @@ class EmbeddingDedupSpec extends AnyFunSuite {
       .subsetOf(keys), s"got $keys")
   }
 
+  test("all-positive clustered embedding family (ReLU/count shape): " +
+    "direction-centering keeps buckets under the cap and the colinear " +
+    "twin is still found — no silent recall collapse") {
+    import spark.implicits._
+    val r = new java.util.Random(13)
+    // every component positive and clustered: without centering every
+    // row lands in the same orthant bucket, the cap drops it, and
+    // dedup silently finds NOTHING
+    val vs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(1.0f + r.nextFloat() * 0.5f)))
+    val twins = vs.take(5).map { case (id, v) =>
+      (id + 1000L, v.map(x => x * 1.02f))
+    }
+    val corpus = spark.createDataset(vs ++ twins).toDF("id", "vec")
+    val pairs = EmbeddingDedup.nearDuplicates(spark, corpus, dim = 16,
+      threshold = 0.9999, bucketCap = 64)
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    for ((id, _) <- vs.take(5))
+      assert(pairs.contains((id, id + 1000L)),
+        s"twin pair ($id, ${id + 1000L}) missed: $pairs")
+  }
+
   test("nProbe knob: colinear twins found even at nProbe = 0; candidate " +
     "volume shrinks monotonically") {
     import spark.implicits._
@@ -455,8 +477,10 @@ class AnnSpec extends AnyFunSuite {
     val pl = Ann.planeTables(1, 16, 8, 42L)(0)
     val uncentered = vs.map { case (_, v) => Ann.signBucket(v, pl) }
       .distinct.size
-    val mean = Array.tabulate(8)(d =>
-      vs.map(_._2(d).toDouble).sum / vs.length)
+    // center = mean of the NORMALIZED directions (signBucket hashes
+    // direction so colinear twins stay equal under any center)
+    val norms = vs.map { case (_, v) => Ann.normalize(v) }
+    val mean = Array.tabulate(8)(d => norms.map(_(d)).sum / norms.length)
     val centered = vs.map { case (_, v) => Ann.signBucket(v, pl, mean) }
       .distinct.size
     assert(uncentered <= 4, s"fixture not clustered enough: $uncentered")
