@@ -1125,6 +1125,27 @@ object SparkEntry {
         s.read.parquet(s"$tmp/index"), hist, newBatch)
     },
 
+    // WINNOW-1 substring-level containment dedup: every 4th doc gets a
+    // CONTAINED twin (the full doc text embedded inside fresh padding)
+    // — whole-doc jaccard between doc and twin is LOW (the padding
+    // dominates), so the minhash family misses it by design; winnowing
+    // fingerprints are local and must recover exactly these pairs.
+    // Fingerprints are deterministic, so the oracle recomputes the
+    // ENTIRE chain exactly (k-gram hashes -> window minima -> fp-cap ->
+    // containment scores) — no recall caveat, unlike LSH gates.
+    "t_containment" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text")
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+      val corpus = d.union(d.filter(_._1 % 4 == 0).map { case (id, t) =>
+        (id + 2000000L,
+          "alpha beta gamma delta padding " + t +
+            " omega psi chi padding words")
+      })
+      graft.ops.Winnow.containmentPairs(s, corpus.toDF("id", "text"))
+    },
+
     "t_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // char-8-gram jaccard flavor over the same twin corpus.
@@ -2244,6 +2265,45 @@ object SparkEntry {
         "FROM inter JOIN cnto ca ON ca.id = old_id " +
         "JOIN cntn cb ON cb.id = new_id " +
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"),
+
+    // the WINNOW-1 chain recomputed exhaustively: per-position k-gram
+    // fold hashes, forward window minima (single-window short docs),
+    // fp-cap, containment = shared / min sizes — all deterministic
+    "t_containment" ->
+      ("WITH base AS (SELECT doc_id AS id, text FROM documents), " +
+        "corpus AS (SELECT id, text FROM base " +
+        "UNION ALL SELECT id + 2000000, " +
+        "'alpha beta gamma delta padding ' || text || " +
+        "' omega psi chi padding words' FROM base WHERE id % 4 = 0), " +
+        "ch AS (SELECT id, list_transform(list_filter(" +
+        "string_split(text, ''), c -> c <> ''), " +
+        "c -> ascii(c)::BIGINT) AS cs FROM corpus), " +
+        "sz AS (SELECT id, cs, len(cs) - 7 AS m FROM ch), " +
+        "kg AS (SELECT id, m, i AS pos, " +
+        "list_reduce(list_prepend(0::BIGINT, cs[i+1:i+8]), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS h " +
+        "FROM (SELECT id, cs, m, " +
+        "unnest(generate_series(0, (m-1)::BIGINT)) AS i " +
+        "FROM sz WHERE m >= 1)), " +
+        "wm AS (SELECT id, pos, m, min(h) OVER (PARTITION BY id " +
+        "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS f " +
+        "FROM kg), " +
+        "fp0 AS (SELECT DISTINCT id, f FROM wm " +
+        "WHERE m > 16 AND pos <= m - 16 " +
+        "UNION SELECT id, min(h) AS f FROM kg WHERE m <= 16 " +
+        "GROUP BY id), " +
+        "kept AS (SELECT f FROM fp0 GROUP BY f " +
+        "HAVING count(*) <= 64), " +
+        "fp AS (SELECT id, f FROM fp0 JOIN kept USING (f)), " +
+        "cnt AS (SELECT id, count(*) AS n FROM fp GROUP BY 1), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS s " +
+        "FROM fp a JOIN fp b USING (f) WHERE a.id < b.id " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, " +
+        "round(s * 1.0 / least(ca.n, cb.n), 4) AS containment " +
+        "FROM inter JOIN cnt ca ON ca.id = id_a " +
+        "JOIN cnt cb ON cb.id = id_b " +
+        "WHERE round(s * 1.0 / least(ca.n, cb.n), 4) >= 0.5"),
 
     "t_ngram_jaccard" ->
       ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
