@@ -465,6 +465,21 @@ object SparkEntry {
         $"extracted_text".as("extracted"))
     },
 
+    // columnar round trip beyond parquet: the same turn corpus staged
+    // as ORC (Spark's other first-class columnar format, predicate
+    // pushdown and all), read back typed, extracted — output must
+    // equal the parquet-path oracle byte for byte, proving the engine
+    // is source-format-agnostic at the contract surface
+    "x_orc_source" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("orc")
+      docTurns(s, dir).write.mode("overwrite").orc(s"$tmp/in")
+      val turns = s.read.orc(s"$tmp/in").as[graft.schema.Turn]
+      val (out, _) = Job.run(s, turns, "orc-src")
+      out.toDF().select($"conv_id", $"turn_idx", $"extractor",
+        $"extracted_text".as("extracted"))
+    },
+
     // partitioned parquet sink + partition-pruned read-back: documents
     // land partitioned by lang (the layout a 100 TB corpus store uses
     // so per-language jobs touch only their directories), then the
@@ -884,6 +899,16 @@ object SparkEntry {
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
           round(sum($"l_quantity"), 2).as("sum_qty"))
+    },
+
+    // full CUBE (all 2^k grouping sets in ONE pass — Spark expands the
+    // sets inside a single Expand+Aggregate, no per-set rescans)
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("total"))
     },
 
     // pivot with EXPLICIT values (the implicit form runs a separate
@@ -1829,6 +1854,8 @@ object SparkEntry {
     // and the CSV ingestion path
     "x_csv_source" -> transcriptsSql,
 
+    "x_orc_source" -> transcriptsSql,
+
     // the quarantine path must preserve every VALID turn byte-exactly
     // (garbage rejection is gated by the in-query require)
     "x_jsonl_quarantine" -> transcriptsSql,
@@ -2097,6 +2124,11 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
         "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
 
     // conditional aggregation: the pivot must equal the long-form
     "q_pivot" ->
