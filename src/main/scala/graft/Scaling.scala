@@ -68,7 +68,12 @@ object Scaling {
   def forkRun(cores: Int, numConvs: Long): (Long, Double) = {
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val java = System.getProperty("java.home") + "/bin/java"
-    val cmd = Seq(java) ++ childOpens ++ Seq(
+    // optional extra child-JVM flags (e.g. a GC experiment:
+    // SPARK_GRAFT_CHILD_JVM="-XX:+UseParallelGC") — applied to BOTH
+    // legs, so the ratio stays a fair comparison
+    val extra = sys.env.get("SPARK_GRAFT_CHILD_JVM")
+      .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+    val cmd = Seq(java) ++ childOpens ++ extra ++ Seq(
       s"-Xmx$mem", s"-Xms$mem", "-XX:+AlwaysPreTouch",
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
