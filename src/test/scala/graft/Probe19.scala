@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
 object Probe19 {
 
   val Heavy = Seq("t_corpus_cleanse", "t_dedup_minhash",
-    "t_ngram_jaccard", "t_media_ann_lsh")
+    "t_ngram_jaccard", "t_media_ann_lsh", "t_containment",
+    "t_dedup_conv")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
