@@ -559,6 +559,31 @@ object SparkEntry {
     // hash). Raw-byte dedup (md5 of the file) cannot find these twins;
     // dedup over the DECODED content hash must — the real-decode
     // milestone feeding the media-similarity path
+    // the STREAMING face of the multimodal arm: media containers
+    // arrive continuously as files; header metadata is extracted
+    // statelessly (extractHeaders — a metadata stream must never pay
+    // content-decode cost) into an exactly-once checkpointed parquet
+    // sink, and must equal the batch header oracle row for row
+    "x_streaming_media" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("smedia")
+      docs(s, dir).select($"doc_id").as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Multimodal.synthContainer(id))
+        }.toDF().write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = graft.streaming.StreamingJob.readMediaStream(s,
+        s"$tmp/in")
+      val out = graft.ops.Multimodal.extractHeaders(s, stream)
+      graft.streaming.StreamingJob
+        .sink(out, s"$tmp/out", s"$tmp/ckpt")
+        .start().awaitTermination()
+      dropStreamStaging(tmp)
+      s.read.parquet(s"$tmp/out")
+        .select($"media_id", $"format", $"n_bytes", $"width",
+          $"height", $"n_frames")
+    },
+
     "t_media_dedup" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long]
@@ -574,6 +599,39 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(s, media).toDF()
         .select($"media_id", $"content_hash")
         .withColumn("is_dup", count(lit(1)).over(w) > 1)
+    },
+
+    // the MEDIA-curation flagship: a content-addressed store ledger
+    // over a MIXED corpus — BMP/WAV bases, byte-distinct twins, and
+    // PNG/GIF TRANSCODES of the same pixels — decode everything
+    // (MEDIA-2/4/5), group by decoded content hash, keep the canonical
+    // copy and count the redundancy. Raw-byte dedup sees zero
+    // duplicates here (every payload is byte-distinct); content decode
+    // must collapse twins AND cross-format transcodes onto one keeper.
+    "t_media_cleanse" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .flatMap { id =>
+          val rows = scala.collection.mutable.ArrayBuffer(
+            graft.ops.Multimodal.MediaRow(id, "binary",
+              graft.ops.Multimodal.synthContentContainer(id)))
+          if (id % 3 == 0)
+            rows += graft.ops.Multimodal.MediaRow(id + 5000000L,
+              "binary", graft.ops.Multimodal.synthContentTwin(id))
+          if (id % 2 == 0)
+            rows += graft.ops.Multimodal.MediaRow(id + 7000000L,
+              "binary", graft.ops.Multimodal.synthPngContent(id))
+          if (id % 6 == 0)
+            rows += graft.ops.Multimodal.MediaRow(id + 8000000L,
+              "binary", graft.ops.Multimodal.synthGifContent(id))
+          rows
+        }
+      graft.ops.Multimodal.extractFeatures(s, media).toDF()
+        .select($"media_id", $"content_hash")
+        .groupBy($"content_hash")
+        .agg(min($"media_id").as("keeper_id"),
+          count(lit(1)).as("n_copies"))
     },
 
     // media-similarity retrieval END TO END: real container bytes ->
@@ -1915,21 +1973,11 @@ object SparkEntry {
     // the synthesis formulas of Multimodal.synthDims/synthContainer,
     // recomputed independently — the Spark side must recover them from
     // the container BYTES alone
-    "t_media_headers" ->
-      ("SELECT doc_id AS media_id, " +
-        "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' " +
-        "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format, " +
-        "(CASE doc_id % 5 WHEN 0 THEN 45 " +
-        "WHEN 1 THEN 14 + 22 * (1 + doc_id % 5) WHEN 2 THEN 54 " +
-        "WHEN 3 THEN 35 ELSE 44 + 2 * (100 + doc_id % 1000) END)::BIGINT " +
-        "AS n_bytes, " +
-        "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 7) % 509 " +
-        "END)::INT AS width, " +
-        "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 13) % 509 " +
-        "END)::INT AS height, " +
-        "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 " +
-        "WHEN doc_id % 5 = 1 THEN 1 + doc_id % 5 ELSE 1 " +
-        "END)::INT AS n_frames FROM documents"),
+    "t_media_headers" -> mediaHeadersOracleSql,
+
+    // the streaming arrival of the same containers must land the
+    // identical header metadata exactly once
+    "x_streaming_media" -> mediaHeadersOracleSql,
 
     "t_media_content" -> mediaContentOracleSql,
 
@@ -1964,6 +2012,22 @@ object SparkEntry {
 
     // config assembly must land the hand-written product exactly
     "x_config_media" -> mediaDedupOracleSql,
+
+    // the content-addressed ledger: every planted copy family (base +
+    // byte-distinct twin + PNG/GIF transcodes) collapses onto one
+    // hash with the canonical keeper and the exact redundancy count
+    "t_media_cleanse" ->
+      (s"WITH $mediaHashCtes, " +
+        "allm AS (SELECT doc_id AS media_id, hh FROM mc " +
+        "UNION ALL SELECT doc_id + 5000000, hh FROM mc " +
+        "WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 7000000, hh FROM mc " +
+        "WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id + 8000000, hh FROM mc " +
+        "WHERE doc_id % 6 = 0) " +
+        "SELECT " + toSigned("hh") + " AS content_hash, " +
+        "min(media_id) AS keeper_id, count(*) AS n_copies " +
+        "FROM allm GROUP BY hh"),
 
     // conversation reassembly + exact jaccard + recursive transitive
     // closure, all in SQL: keepers are cluster minima
@@ -2678,6 +2742,26 @@ object SparkEntry {
       toSigned("hh") + " AS content_hash, " +
       (0 until 8).map(d => s"e$d").mkString(", ") + " FROM bh"
   }
+  /** MEDIA-1 oracle: the synthContainer header formulas recomputed —
+    * shared by the batch (t_media_headers) and streaming
+    * (x_streaming_media) gates.
+    */
+  private lazy val mediaHeadersOracleSql: String =
+    "SELECT doc_id AS media_id, " +
+      "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' " +
+      "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS format, " +
+      "(CASE doc_id % 5 WHEN 0 THEN 45 " +
+      "WHEN 1 THEN 14 + 22 * (1 + doc_id % 5) WHEN 2 THEN 54 " +
+      "WHEN 3 THEN 35 ELSE 44 + 2 * (100 + doc_id % 1000) END)::BIGINT " +
+      "AS n_bytes, " +
+      "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 7) % 509 " +
+      "END)::INT AS width, " +
+      "(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 16 + (doc_id * 13) % 509 " +
+      "END)::INT AS height, " +
+      "(CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 1000 " +
+      "WHEN doc_id % 5 = 1 THEN 1 + doc_id % 5 ELSE 1 " +
+      "END)::INT AS n_frames FROM documents"
+
   private lazy val pngContentOracleSql: String =
     lumaFormulaOracleSql("png")
   private lazy val gifContentOracleSql: String =

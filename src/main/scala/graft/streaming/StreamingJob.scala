@@ -196,4 +196,31 @@ object StreamingJob {
       .option("path", outputDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+
+  /** Streaming media source: binary media rows arriving as parquet
+    * files — the continuous-crawl shape of the multimodal arm.
+    */
+  def readMediaStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 8)
+      : Dataset[graft.ops.Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(spark.createDataset(
+        Seq.empty[graft.ops.Multimodal.MediaRow]).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[graft.ops.Multimodal.MediaRow]
+  }
+
+  /** Exactly-once parquet sink for any stateless streaming transform
+    * (the `writer` shape, generic element type).
+    */
+  def sink[T](out: Dataset[T], outputDir: String,
+      checkpointDir: String): DataStreamWriter[T] =
+    out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
 }
