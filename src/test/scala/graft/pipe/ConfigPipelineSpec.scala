@@ -154,18 +154,21 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(!hdr.columns.contains("content_hash"))
     assert(hdr.columns.contains("width"))
     // ann_topk from config: twins (id >= 1000) as queries must
-    // retrieve exactly their base partner at rank 1
-    val hits = ConfigPipeline.runOps(spark, media,
-      """[
-        {"step": "media_features",
-         "config": {"id": "media_id", "payload": "payload"}},
-        {"step": "ann_topk",
-         "config": {"id": "media_id", "vec": "embedding",
-                    "queries_expr": "media_id >= 1000",
-                    "k": 1, "dim": 8, "mode": "lsh"}}
-      ]""").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
-    for (id <- 0L until 12L if id % 3 == 0)
-      assert(hits(id + 1000L) == id, s"twin of $id")
+    // retrieve exactly their base partner at rank 1 — on BOTH indexed
+    // modes (lsh and ivf resolve from the same registry entry)
+    for (mode <- Seq("lsh", "ivf")) {
+      val hits = ConfigPipeline.runOps(spark, media,
+        s"""[
+          {"step": "media_features",
+           "config": {"id": "media_id", "payload": "payload"}},
+          {"step": "ann_topk",
+           "config": {"id": "media_id", "vec": "embedding",
+                      "queries_expr": "media_id >= 1000",
+                      "k": 1, "dim": 8, "mode": "$mode"}}
+        ]""").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      for (id <- 0L until 12L if id % 3 == 0)
+        assert(hits(id + 1000L) == id, s"twin of $id ($mode)")
+    }
     // non-binary payload and bad mode rejected with clear errors
     val e = intercept[ConfigPipeline.ConfigError](
       ConfigPipeline.runOps(spark,
