@@ -1229,6 +1229,58 @@ object SparkEntry {
       graft.ops.Winnow.containmentPairs(s, corpus.toDF("id", "text"))
     },
 
+    // benchmark decontamination (GPT-3 13-gram rule): every 97th doc
+    // contributes a 30-word excerpt (words 11..40) as a "benchmark"
+    // item; the engine must flag exactly the docs containing those
+    // excerpts verbatim — and nothing else (no coincidental 13-gram
+    // collisions exist in the synthetic corpus)
+    "t_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val bench = d.filter($"doc_id" % 97 === 0)
+        .select(array_join(
+          slice(filter(split($"text", " "), w => w =!= ""), 11, 30),
+          " ").as("text"))
+      graft.ops.Retrieval.decontaminate(
+        s, d.select($"doc_id", $"text"), bench)
+    },
+
+    // BM25 top-k retrieval over an inverted index: every 101st doc's
+    // first-4-token set is a query; scores are scaled-long encoded so
+    // the oracle's sums match bit for bit
+    "t_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val queries = d.filter($"doc_id" % 101 === 0)
+        .select($"doc_id".as("qid"),
+          array_distinct(slice(
+            filter(split($"text", " "), w => w =!= ""), 1, 4))
+            .as("terms"))
+      graft.ops.Retrieval.bm25TopK(s, d.select($"doc_id", $"text"),
+        queries)
+    },
+
+    // temperature source balancing over a planted 4x-skewed source
+    // (src0 duplicated 3 extra times under offset ids): budgets
+    // proportional to count^0.5 flatten the source histogram
+    "t_source_balance" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text", $"source")
+      val skew = d.filter($"source" === "src0")
+        .crossJoin(Seq(1, 2, 3).toDF("c"))
+        .select(($"doc_id" + $"c" * 10000000L).as("doc_id"),
+          $"text", $"source")
+      graft.ops.Retrieval.temperatureBalance(s, d.union(skew))
+    },
+
+    // CCNet-style self-trained bigram-LM quality score: mean negative
+    // log probability per doc, add-one smoothing, scaled-long exact
+    "t_lm_score" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Retrieval.lmScore(
+        s, docs(s, dir).select($"doc_id", $"text"))
+    },
+
     "t_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // char-8-gram jaccard flavor over the same twin corpus.
@@ -2400,6 +2452,92 @@ object SparkEntry {
         "FROM inter JOIN cnt ca ON ca.id = id_a " +
         "JOIN cnt cb ON cb.id = id_b " +
         "WHERE round(s * 1.0 / least(ca.n, cb.n), 4) >= 0.5"),
+
+    // the same 13-gram construction on both sides; DuckDB list slices
+    // are 1-based inclusive (ws[i:i+12] == slice(ws, i, 13))
+    "t_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "bw AS (SELECT ws[11:40] AS bw FROM toks WHERE doc_id % 97 = 0), " +
+        "bench AS (SELECT DISTINCT " +
+        "list_aggregate(bw[i:i+12], 'string_agg', ' ') AS g " +
+        "FROM (SELECT bw, unnest(generate_series(1, len(bw) - 12)) AS i " +
+        "FROM bw WHERE len(bw) >= 13)), " +
+        "cg AS (SELECT DISTINCT doc_id, " +
+        "list_aggregate(ws[i:i+12], 'string_agg', ' ') AS g " +
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) " +
+        "AS i FROM toks WHERE len(ws) >= 13)) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_shared FROM cg " +
+        "WHERE g IN (SELECT g FROM bench) GROUP BY 1"),
+
+    // identical expression SHAPE to bm25TopK (fractional literals cast
+    // ::DOUBLE — DuckDB would otherwise parse them as DECIMAL); the
+    // per-term score is scaled-long encoded before the sum on both
+    // sides, so parallel summation order cannot diverge
+    "t_bm25" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM " +
+        "(SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM toks), " +
+        "st AS (SELECT count(*)::BIGINT AS n, " +
+        "sum(len(ws))::BIGINT AS sdl FROM toks), " +
+        "df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1), " +
+        "q AS (SELECT doc_id AS qid, unnest(list_distinct(ws[1:4])) AS w " +
+        "FROM toks WHERE doc_id % 101 = 0), " +
+        "sc AS (SELECT q.qid, tf.doc_id, " +
+        "round(ln(1 + (st.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) " +
+        "* (tf.tf * (1.2::DOUBLE + 1)) / (tf.tf + 1.2::DOUBLE * " +
+        "(1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl / (st.sdl * 1.0 / st.n))) " +
+        "* 1e6)::BIGINT AS s " +
+        "FROM q JOIN tf USING (w) JOIN df USING (w) " +
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st), " +
+        "agg AS (SELECT qid, doc_id, sum(s)::BIGINT AS score_scaled " +
+        "FROM sc GROUP BY 1, 2) " +
+        "SELECT qid, rn, doc_id, score_scaled FROM " +
+        "(SELECT qid, doc_id, score_scaled, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY score_scaled DESC, doc_id) AS rn " +
+        "FROM agg) WHERE rn <= 5"),
+
+    "t_source_balance" ->
+      ("WITH corpus AS (SELECT doc_id, text, source FROM documents " +
+        "UNION ALL SELECT doc_id + c * 10000000, text, source " +
+        "FROM documents, (SELECT unnest([1, 2, 3]) AS c) " +
+        "WHERE source = 'src0'), " +
+        "cnt AS (SELECT source, count(*)::BIGINT AS total, " +
+        "round(pow(count(*), 0.5::DOUBLE) * 1e6)::BIGINT AS pw " +
+        "FROM corpus GROUP BY 1), " +
+        "st AS (SELECT sum(pw)::BIGINT AS spw, sum(total)::BIGINT AS t " +
+        "FROM cnt), " +
+        "bud AS (SELECT source, total, least(total, greatest(1, " +
+        "floor(floor(t / 2) * (pw * 1.0 / spw))::BIGINT)) AS budget " +
+        "FROM cnt CROSS JOIN st), " +
+        "rk AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY md5(text), doc_id) AS rn " +
+        "FROM corpus) " +
+        "SELECT b.source, b.total, b.budget, count(*)::BIGINT AS kept, " +
+        "sum(r.doc_id)::BIGINT AS kept_id_sum " +
+        "FROM rk r JOIN bud b ON r.source = b.source AND r.rn <= b.budget " +
+        "GROUP BY 1, 2, 3"),
+
+    "t_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "vs AS (SELECT count(DISTINCT w)::BIGINT AS v FROM " +
+        "(SELECT unnest(ws) AS w FROM toks)), " +
+        "bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM " +
+        "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+        "FROM toks WHERE len(ws) >= 2)), " +
+        "cb AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg " +
+        "GROUP BY 1, 2), " +
+        "cu AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM cb GROUP BY 1), " +
+        "sc AS (SELECT doc_id, round(-ln((cb.c12 + 1) * 1.0 / " +
+        "(cu.c1 + vs.v)) * 1e6)::BIGINT AS s " +
+        "FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vs), " +
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "sum(s)::BIGINT AS snll FROM sc GROUP BY 1) " +
+        "SELECT doc_id, n_bigrams, " +
+        "(snll // n_bigrams)::BIGINT AS nll_mean_scaled FROM agg"),
 
     "t_ngram_jaccard" ->
       ("WITH corpus AS (SELECT doc_id AS id, text FROM documents " +

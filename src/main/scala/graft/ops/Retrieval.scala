@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation retrieval/filtering family: benchmark
+  * decontamination, BM25 retrieval over an inverted index, temperature
+  * source balancing, and n-gram LM scoring. All four are published
+  * training-data-pipeline staples (decontamination: Brown et al. 2020
+  * §C "Measuring and Preventing Memorization"; BM25: Robertson &
+  * Zaragoza 2009; temperature sampling: Conneau et al. 2020 (XLM-R)
+  * §3.1; LM quality scoring: Wenzek et al. 2020 (CCNet) §3.3 — public
+  * knowledge).
+  *
+  * Determinism contract (oracle-mirrored): every floating-point score
+  * is rounded to a scaled BIGINT (`round(x * 1e6)::long`) BEFORE any
+  * aggregation, so parallel summation order cannot change results —
+  * sums of longs are exact and associative. Global scalars (corpus
+  * size, average doc length, vocabulary size) ride along as 1-row
+  * broadcast cross joins, never driver-side collects.
+  */
+object Retrieval {
+
+  /** Non-empty whitespace tokens of `text` (the corpus-wide word
+    * convention shared with TextStats / MinHashDedup oracles).
+    */
+  private def toks(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Word n-grams joined with single spaces; empty array when the doc
+    * has fewer than n tokens (sequence() would otherwise run backwards).
+    */
+  private def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array())
+
+  /** Benchmark decontamination: flag corpus documents that share at
+    * least one word n-gram with any benchmark document (the GPT-3 /
+    * Gopher 13-gram overlap rule). Returns (doc_id, n_shared) where
+    * n_shared counts DISTINCT shared n-grams; clean documents are
+    * absent.
+    *
+    * Scale shape: the benchmark side (eval sets — thousands of docs,
+    * not billions) collapses to a DISTINCT n-gram set and is broadcast;
+    * the corpus side streams through explode -> distinct(doc, gram) ->
+    * broadcast-hash semi join -> map-side-combinable count, so no
+    * corpus-sized state ever shuffles on the gram key. At real scale
+    * hash the gram strings to 64-bit before the join (xxhash64) — kept
+    * as raw strings here so the oracle joins on identical keys.
+    */
+  def decontaminate(spark: SparkSession, corpus: DataFrame,
+      bench: DataFrame, n: Int = 13): DataFrame = {
+    import spark.implicits._
+    val benchGrams = bench
+      .select(explode(wordNgrams(toks($"text"), n)).as("g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select($"doc_id", explode(wordNgrams(toks($"text"), n)).as("g"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Okapi BM25 top-k retrieval. `corpus` is (doc_id, text); `queries`
+    * is (qid, terms: array<string>). Returns (qid, rn, doc_id,
+    * score_scaled) with rn <= k, ranked by score then doc_id.
+    *
+    * The inverted index is the (term, doc_id, tf) hash aggregation —
+    * map-side combined, so each scan task emits its distinct-term cell
+    * count, not its token count. Query terms are broadcast, so only the
+    * postings of queried terms flow into scoring; the rank window sorts
+    * candidate cells, never the corpus. Per-term scores are scaled to
+    * longs before the (qid, doc) sum (see the determinism contract).
+    * Stopword-like terms keep naturally small IDF here; at real scale
+    * ALSO drop terms with df/N above a cutoff before the join so a
+    * query containing "the" cannot pull a corpus-sized posting list.
+    */
+  def bm25TopK(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val tokd = corpus.select($"doc_id", toks($"text").as("ws"))
+    // inverted-index cells carry the doc length (the standard postings
+    // layout) so scoring needs no corpus-sized doc-stats join later;
+    // dl is functionally dependent on doc_id, so the extra group key
+    // does not change the aggregation
+    val tf = tokd
+      .select($"doc_id", size($"ws").cast("long").as("dl"),
+        explode($"ws").as("w"))
+      .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val stats = tokd.agg(
+      count(lit(1)).as("n"),
+      sum(size($"ws")).as("sdl"))
+    val qTerms = queries.select($"qid", explode($"terms").as("w"))
+    // expression SHAPE matches the oracle SQL exactly (cross-engine
+    // doubles: identical shape -> identical bits; then scaled-long)
+    val avgdl = $"sdl" * 1.0 / $"n"
+    val idf = log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+    val termScore = idf * ($"tf" * (k1 + 1)) /
+      ($"tf" + lit(k1) * (lit(1.0) - b + lit(b) * $"dl" / avgdl)) * 1e6
+    // document frequencies are computed over the FULL index but only
+    // the queried terms' rows are kept (broadcast semi-join), so the
+    // df side stays query-sized no matter how large the vocabulary is
+    val dfQ = df.join(broadcast(qTerms.select($"w").distinct()), Seq("w"))
+    val scored = broadcast(qTerms)
+      .join(tf, Seq("w"))
+      .join(broadcast(dfQ), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc_id", round(termScore).cast("long").as("s"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"s").as("score_scaled"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"score_scaled".desc, $"doc_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"doc_id", $"score_scaled")
+  }
+
+  /** Temperature source balancing: per-source keep budgets proportional
+    * to count^alpha (alpha < 1 flattens the source distribution — the
+    * multilingual-sampling rule), applied deterministically by
+    * (md5(text), doc_id) rank within each source. Total budget is half
+    * the corpus. Returns one row per source: (source, total, budget,
+    * kept, kept_id_sum) — kept_id_sum pins WHICH rows survived, not
+    * just how many.
+    *
+    * Scale shape: two aggregations over slim (source) cells — row
+    * counts, then kept counts — plus one rank window partitioned by
+    * source; budgets are a sources-sized table joined broadcast. The
+    * per-source window is the only per-row sort; a skewed mega-source
+    * at real scale takes the salted-prefix variant of the same rank
+    * (the q_skew_salted pattern).
+    */
+  def temperatureBalance(spark: SparkSession, corpus: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    // per-source weight count^alpha is scaled to a long BEFORE the
+    // global sum (the file's determinism contract: a parallel sum of
+    // doubles reorders; a sum of longs is exact)
+    val cnt = corpus.groupBy($"source").agg(count(lit(1)).as("total"))
+      .withColumn("pw", round(pow($"total", alpha) * 1e6).cast("long"))
+    val st = cnt.agg(sum($"pw").as("spw"), sum($"total").as("t"))
+    val bud = cnt.crossJoin(broadcast(st))
+      .select($"source", $"total",
+        least($"total", greatest(lit(1L),
+          floor(floor($"t" / 2) * ($"pw" * 1.0 / $"spw"))
+            .cast("long"))).as("budget"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"h".asc, $"doc_id".asc)
+    val ranked = corpus
+      .select($"source", $"doc_id", md5($"text").as("h"))
+      .withColumn("rn", row_number().over(w))
+    ranked.join(broadcast(bud), Seq("source"))
+      .filter($"rn" <= $"budget")
+      .groupBy($"source", $"total", $"budget")
+      .agg(count(lit(1)).as("kept"), sum($"doc_id").as("kept_id_sum"))
+  }
+
+  /** Bigram-LM quality score (CCNet-style, self-trained): train
+    * add-one-smoothed bigram probabilities on the corpus itself, then
+    * score each document by its mean negative log probability — high
+    * scores mark improbable (noisy) text. Returns (doc_id, n_bigrams,
+    * nll_mean_scaled); single-token docs are absent.
+    *
+    * p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V) with c1 the predecessor
+    * count and V the corpus vocabulary size. Per-bigram NLL is scaled
+    * to a long before the per-doc sum; the mean is exact integer
+    * division (sum div n).
+    *
+    * Scale shape: the model is two hash aggregations producing
+    * (w1,w2,c) / (w1,c) cell tables — vocab-bounded, map-side combined
+    * — and scoring is a cell join keyed on the bigram, not a per-row
+    * lookup structure; V rides along as a broadcast 1-row cross join.
+    */
+  def lmScore(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tokd = corpus.select($"doc_id", toks($"text").as("ws"))
+    val vocab = tokd.select(explode($"ws").as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val bg = tokd.filter(size($"ws") >= 2)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ws") - 1), i =>
+          struct(element_at($"ws", i).as("w1"),
+            element_at($"ws", i + 1).as("w2")))).as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+    val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val cu = cb.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val nll = round(-log(($"c12" + 1) * 1.0 / ($"c1" + $"v")) * 1e6)
+      .cast("long")
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", nll.as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("snll"))
+      .select($"doc_id", $"n_bigrams",
+        expr("snll div n_bigrams").as("nll_mean_scaled"))
+  }
+}
