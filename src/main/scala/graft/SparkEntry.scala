@@ -1517,6 +1517,27 @@ object SparkEntry {
       graft.pipe.ConfigPipeline.runOps(s, media.toDF(), config)
     },
 
+    // the JSON surface reaches the retrieval family: one input table
+    // carrying both the corpus docs and the benchmark excerpts (ids
+    // offset by 5000000), a config-assembled decontaminate step, and
+    // the product must equal the hand-written t_decontaminate's
+    "x_config_retrieval" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val excerpts = d.filter($"doc_id" % 97 === 0)
+        .select(($"doc_id" + 5000000L).as("doc_id"),
+          array_join(
+            slice(filter(split($"text", " "), w => w =!= ""), 11, 30),
+            " ").as("text"))
+      val input = d.select($"doc_id", $"text").union(excerpts)
+      graft.pipe.ConfigPipeline.runOps(s, input,
+        """[
+          {"step": "decontaminate",
+           "config": {"id": "doc_id", "text": "text",
+                      "bench_expr": "doc_id >= 5000000", "n": 13}}
+        ]""")
+    },
+
     // the DAILY-BATCH composition — the day-2 shape of the flagship
     // curation run (t_corpus_cleanse is day 0 over the full corpus):
     // sign the history into a persisted band index, dedupe the
@@ -2453,22 +2474,12 @@ object SparkEntry {
         "JOIN cnt cb ON cb.id = id_b " +
         "WHERE round(s * 1.0 / least(ca.n, cb.n), 4) >= 0.5"),
 
-    // the same 13-gram construction on both sides; DuckDB list slices
-    // are 1-based inclusive (ws[i:i+12] == slice(ws, i, 13))
-    "t_decontaminate" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
-        "x -> x <> '') AS ws FROM documents), " +
-        "bw AS (SELECT ws[11:40] AS bw FROM toks WHERE doc_id % 97 = 0), " +
-        "bench AS (SELECT DISTINCT " +
-        "list_aggregate(bw[i:i+12], 'string_agg', ' ') AS g " +
-        "FROM (SELECT bw, unnest(generate_series(1, len(bw) - 12)) AS i " +
-        "FROM bw WHERE len(bw) >= 13)), " +
-        "cg AS (SELECT DISTINCT doc_id, " +
-        "list_aggregate(ws[i:i+12], 'string_agg', ' ') AS g " +
-        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) " +
-        "AS i FROM toks WHERE len(ws) >= 13)) " +
-        "SELECT doc_id, count(*)::BIGINT AS n_shared FROM cg " +
-        "WHERE g IN (SELECT g FROM bench) GROUP BY 1"),
+    "t_decontaminate" -> decontaminateOracleSql,
+
+    // config-assembled decontamination must equal the hand-written
+    // t_decontaminate product (the x_config_media pattern: the JSON
+    // surface reaches the retrieval family too)
+    "x_config_retrieval" -> decontaminateOracleSql,
 
     // identical expression SHAPE to bm25TopK (fractional literals cast
     // ::DOUBLE — DuckDB would otherwise parse them as DECIMAL); the
@@ -2849,6 +2860,25 @@ object SparkEntry {
     * for the twinned ids; computed by a window count over the
     * formula-recomputed hashes.
     */
+  // the same 13-gram construction as Retrieval.decontaminate; DuckDB
+  // list slices are 1-based inclusive (ws[i:i+12] == slice(ws, i, 13)).
+  // Shared by t_decontaminate (direct) and x_config_retrieval (the
+  // JSON-assembled pipeline must land on the identical product).
+  private lazy val decontaminateOracleSql: String =
+    "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> x <> '') AS ws FROM documents), " +
+      "bw AS (SELECT ws[11:40] AS bw FROM toks WHERE doc_id % 97 = 0), " +
+      "bench AS (SELECT DISTINCT " +
+      "list_aggregate(bw[i:i+12], 'string_agg', ' ') AS g " +
+      "FROM (SELECT bw, unnest(generate_series(1, len(bw) - 12)) AS i " +
+      "FROM bw WHERE len(bw) >= 13)), " +
+      "cg AS (SELECT DISTINCT doc_id, " +
+      "list_aggregate(ws[i:i+12], 'string_agg', ' ') AS g " +
+      "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) " +
+      "AS i FROM toks WHERE len(ws) >= 13)) " +
+      "SELECT doc_id, count(*)::BIGINT AS n_shared FROM cg " +
+      "WHERE g IN (SELECT g FROM bench) GROUP BY 1"
+
   private lazy val mediaDedupOracleSql: String =
     s"WITH $mediaHashCtes, " +
       "allm AS (SELECT doc_id AS media_id, hh FROM mc " +

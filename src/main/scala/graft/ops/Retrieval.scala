@@ -137,7 +137,12 @@ object Retrieval {
     * at real scale takes the salted-prefix variant of the same rank
     * (the q_skew_salted pattern).
     */
-  def temperatureBalance(spark: SparkSession, corpus: DataFrame,
+  /** The surviving rows of the temperature balance: (source, doc_id,
+    * total, budget). See temperatureBalance for the contract; this is
+    * the composable form (semi-join it back against the corpus to
+    * continue a pipeline with only the balanced rows).
+    */
+  def temperatureKept(spark: SparkSession, corpus: DataFrame,
       alpha: Double = 0.5): DataFrame = {
     import spark.implicits._
     // per-source weight count^alpha is scaled to a long BEFORE the
@@ -158,6 +163,13 @@ object Retrieval {
       .withColumn("rn", row_number().over(w))
     ranked.join(broadcast(bud), Seq("source"))
       .filter($"rn" <= $"budget")
+      .select($"source", $"doc_id", $"total", $"budget")
+  }
+
+  def temperatureBalance(spark: SparkSession, corpus: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    temperatureKept(spark, corpus, alpha)
       .groupBy($"source", $"total", $"budget")
       .agg(count(lit(1)).as("kept"), sum($"doc_id").as("kept_id_sum"))
   }

@@ -214,6 +214,75 @@ object ConfigPipeline {
           }
         }
       },
+      // benchmark decontamination within one table: rows satisfying
+      // `bench_expr` are the benchmark set, the rest the corpus.
+      // Output is (doc_id, n_shared) for contaminated corpus docs —
+      // the GPT-3 13-gram rule from config
+      "decontaminate" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val benchExpr = str(cfg, "bench_expr")
+        val n = num(cfg, "n", 13).toInt
+        df => {
+          val corpus = df.filter(!expr(benchExpr))
+            .select(col(idCol).cast("long").as("doc_id"),
+              col(textCol).as("text"))
+          val bench = df.filter(expr(benchExpr))
+            .select(col(textCol).as("text"))
+          graft.ops.Retrieval.decontaminate(s, corpus, bench, n)
+        }
+      },
+      // BM25 top-k retrieval: rows satisfying `queries_expr` contribute
+      // query term sets via `terms_expr` (an SQL array<string>
+      // expression); the corpus is ALL rows. Output (qid, rn, doc_id,
+      // score_scaled).
+      "bm25_topk" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val qExpr = str(cfg, "queries_expr")
+        val termsExpr = str(cfg, "terms_expr")
+        val k = num(cfg, "k", 5).toInt
+        df => {
+          val corpus = df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text"))
+          val queries = df.filter(expr(qExpr))
+            .select(col(idCol).cast("long").as("qid"),
+              expr(termsExpr).as("terms"))
+          graft.ops.Retrieval.bm25TopK(s, corpus, queries, k)
+        }
+      },
+      // temperature source balancing as a FILTER step: only the
+      // count^alpha budgeted keeps survive, original columns intact
+      "source_balance" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val sourceCol = str(cfg, "source", "source")
+        val alpha = num(cfg, "alpha", 0.5)
+        df => {
+          val corpus = df.select(col(sourceCol).as("source"),
+            col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text"))
+          val keep = graft.ops.Retrieval
+            .temperatureKept(s, corpus, alpha)
+            .select(col("doc_id").as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        }
+      },
+      // bigram-LM quality score joined back as a column (null for
+      // docs with no bigram)
+      "lm_score" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val out = str(cfg, "out", "nll_mean_scaled")
+        df => {
+          val corpus = df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text"))
+          val scores = graft.ops.Retrieval.lmScore(s, corpus)
+            .select(col("doc_id").as(idCol),
+              col("nll_mean_scaled").as(out))
+          df.join(scores, Seq(idCol), "left")
+        }
+      },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>
         val group = strs(cfg, "group").map(col)

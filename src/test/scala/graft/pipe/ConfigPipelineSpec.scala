@@ -183,6 +183,58 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("content"), e2.getMessage)
   }
 
+  test("runOps: retrieval steps equal their direct op calls " +
+    "(bm25_topk, source_balance filter semantics, lm_score join)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana", "A"), (2L, "apple apple banana", "A"),
+      (3L, "cherry", "A"), (4L, "apple cherry", "B")
+    ).toDF("doc_id", "text", "source")
+    // bm25_topk from config == Retrieval.bm25TopK directly
+    val viaCfg = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "bm25_topk",
+           "config": {"id": "doc_id", "text": "text",
+                      "queries_expr": "doc_id = 1",
+                      "terms_expr": "array('apple')", "k": 3}}]""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val direct = graft.ops.Retrieval.bm25TopK(spark,
+      docs.select($"doc_id", $"text"),
+      Seq((1L, Seq("apple"))).toDF("qid", "terms"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaCfg == direct && viaCfg.nonEmpty)
+    // source_balance is a FILTER: schema intact, kept ids match the
+    // op's own keep set
+    val balanced = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "source_balance",
+           "config": {"id": "doc_id", "text": "text",
+                      "source": "source"}}]""")
+    assert(balanced.columns.toSeq == docs.columns.toSeq)
+    val keptIds = balanced.collect().map(_.getLong(0)).toSet
+    val opIds = graft.ops.Retrieval.temperatureKept(spark,
+      docs.select($"source", $"doc_id", $"text"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds == opIds && keptIds.nonEmpty)
+    // lm_score joins the score on; single-token docs get null
+    val scored = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "lm_score",
+           "config": {"id": "doc_id", "text": "text",
+                      "out": "nll"}}]""")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Long]("nll")))).toMap
+    assert(scored(3L).isEmpty && scored(1L).nonEmpty)
+    // decontaminate from config: the bench bigram "apple banana"
+    // appears in docs 1 and 2 (and nowhere else)
+    val deconRows = ConfigPipeline.runOps(spark,
+      docs.select($"doc_id", $"text")
+        .union(Seq((100L, "apple banana")).toDF("doc_id", "text")),
+      """[{"step": "decontaminate",
+           "config": {"bench_expr": "doc_id >= 100", "n": 2}}]""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deconRows == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
