@@ -1281,6 +1281,47 @@ object SparkEntry {
         s, docs(s, dir).select($"doc_id", $"text"))
     },
 
+    // the TRAINING-MIX flagship: the retrieval family composed end to
+    // end over a 4x-source-skewed corpus — benchmark decontamination
+    // (excerpt grams out, copies of contaminated docs drop too),
+    // temperature balance of the SURVIVORS (budgets from post-decon
+    // counts), then a self-trained bigram-LM gate (keep docs at or
+    // below the global mean NLL, trained on the balanced rows only).
+    // Every stage is deterministic; the oracle recomposes all three
+    // chains exactly in SQL. Per-source survivor stats come out, with
+    // id sums pinning WHICH rows survived.
+    "t_corpus_mix" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text", $"source")
+      val skew = d.filter($"source" === "src0")
+        .crossJoin(Seq(1, 2, 3).toDF("c"))
+        .select(($"doc_id" + $"c" * 10000000L).as("doc_id"),
+          $"text", $"source")
+      val corpus = d.union(skew)
+      val bench = docs(s, dir).filter($"doc_id" % 97 === 0)
+        .select(array_join(
+          slice(filter(split($"text", " "), w => w =!= ""), 11, 30),
+          " ").as("text"))
+      val contaminated = graft.ops.Retrieval
+        .decontaminate(s, corpus.select($"doc_id", $"text"), bench)
+        .select($"doc_id")
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val keptIds = graft.ops.Retrieval.temperatureKept(s, clean)
+        .select($"doc_id")
+      val keptRows = clean.join(keptIds, Seq("doc_id"))
+      val scores = graft.ops.Retrieval
+        .lmScore(s, keptRows.select($"doc_id", $"text"))
+      val gate = scores
+        .agg(expr("sum(nll_mean_scaled) div count(1)").as("avg_nll"))
+      val fin = scores.crossJoin(broadcast(gate))
+        .filter($"nll_mean_scaled" <= $"avg_nll")
+        .select($"doc_id")
+      keptRows.join(fin, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_final"),
+          sum($"doc_id").as("id_sum_final"))
+    },
+
     "t_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       // char-8-gram jaccard flavor over the same twin corpus.
@@ -2475,6 +2516,71 @@ object SparkEntry {
         "WHERE round(s * 1.0 / least(ca.n, cb.n), 4) >= 0.5"),
 
     "t_decontaminate" -> decontaminateOracleSql,
+
+    // the three chains recomposed in one statement: decon grams over
+    // the SKEWED corpus, budgets over the survivors, LM trained on the
+    // balanced rows — each fragment identical in shape to its
+    // standalone oracle
+    "t_corpus_mix" ->
+      ("WITH corpus AS (SELECT doc_id, text, source FROM documents " +
+        "UNION ALL SELECT doc_id + c * 10000000, text, source " +
+        "FROM documents, (SELECT unnest([1, 2, 3]) AS c) " +
+        "WHERE source = 'src0'), " +
+        "ctoks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM corpus), " +
+        "btoks AS (SELECT list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents WHERE doc_id % 97 = 0), " +
+        "bw AS (SELECT ws[11:40] AS bw FROM btoks), " +
+        "bench AS (SELECT DISTINCT " +
+        "list_aggregate(bw[i:i+12], 'string_agg', ' ') AS g " +
+        "FROM (SELECT bw, unnest(generate_series(1, len(bw) - 12)) AS i " +
+        "FROM bw WHERE len(bw) >= 13)), " +
+        "cg AS (SELECT DISTINCT doc_id, " +
+        "list_aggregate(ws[i:i+12], 'string_agg', ' ') AS g " +
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) " +
+        "AS i FROM ctoks WHERE len(ws) >= 13)), " +
+        "contaminated AS (SELECT DISTINCT doc_id FROM cg " +
+        "WHERE g IN (SELECT g FROM bench)), " +
+        "clean AS (SELECT * FROM corpus WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM contaminated)), " +
+        "cnt AS (SELECT source, count(*)::BIGINT AS total, " +
+        "round(pow(count(*), 0.5::DOUBLE) * 1e6)::BIGINT AS pw " +
+        "FROM clean GROUP BY 1), " +
+        "st AS (SELECT sum(pw)::BIGINT AS spw, sum(total)::BIGINT AS t " +
+        "FROM cnt), " +
+        "bud AS (SELECT source, least(total, greatest(1, " +
+        "floor(floor(t / 2) * (pw * 1.0 / spw))::BIGINT)) AS budget " +
+        "FROM cnt CROSS JOIN st), " +
+        "rk AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY md5(text), doc_id) AS rn " +
+        "FROM clean), " +
+        "keptrows AS (SELECT c.doc_id, c.text, c.source FROM clean c " +
+        "JOIN rk ON rk.doc_id = c.doc_id " +
+        "JOIN bud ON bud.source = rk.source AND rk.rn <= bud.budget), " +
+        "ktoks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM keptrows), " +
+        "vs AS (SELECT count(DISTINCT w)::BIGINT AS v FROM " +
+        "(SELECT unnest(ws) AS w FROM ktoks)), " +
+        "bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM " +
+        "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+        "FROM ktoks WHERE len(ws) >= 2)), " +
+        "cb AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg " +
+        "GROUP BY 1, 2), " +
+        "cu AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM cb GROUP BY 1), " +
+        "sc AS (SELECT doc_id, round(-ln((cb.c12 + 1) * 1.0 / " +
+        "(cu.c1 + vs.v)) * 1e6)::BIGINT AS s " +
+        "FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vs), " +
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "sum(s)::BIGINT AS snll FROM sc GROUP BY 1), " +
+        "agg2 AS (SELECT doc_id, (snll // n_bigrams)::BIGINT AS m " +
+        "FROM agg), " +
+        "gate AS (SELECT (sum(m) // count(*))::BIGINT AS avg_nll " +
+        "FROM agg2), " +
+        "fin AS (SELECT a.doc_id FROM agg2 a CROSS JOIN gate g " +
+        "WHERE a.m <= g.avg_nll) " +
+        "SELECT k.source, count(*)::BIGINT AS n_final, " +
+        "sum(k.doc_id)::BIGINT AS id_sum_final " +
+        "FROM keptrows k JOIN fin USING (doc_id) GROUP BY 1"),
 
     // config-assembled decontamination must equal the hand-written
     // t_decontaminate product (the x_config_media pattern: the JSON
