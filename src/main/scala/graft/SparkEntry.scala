@@ -1229,6 +1229,27 @@ object SparkEntry {
       graft.ops.Winnow.containmentPairs(s, corpus.toDF("id", "text"))
     },
 
+    // day-2 containment: history fingerprinted ONCE into a persisted
+    // (f, id) index; the arriving batch (every 4th doc embedded in
+    // fresh padding) is checked against the index READ BACK FROM
+    // STORAGE — history text is never re-fingerprinted, and only
+    // inter-set pairs can form
+    "t_containment_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val hist = docs(s, dir).select($"doc_id", $"text")
+        .as[(Long, String)]
+      val tmp = scratchDir("winnowidx")
+      graft.ops.Winnow.fingerprintIndex(s, hist.toDF("id", "text"))
+        .write.mode("overwrite").parquet(s"$tmp/index")
+      val newBatch = hist.filter(_._1 % 4 == 0).map { case (id, t) =>
+        (id + 2000000L,
+          "alpha beta gamma delta padding " + t +
+            " omega psi chi padding words")
+      }
+      graft.ops.Winnow.containmentIncremental(s,
+        s.read.parquet(s"$tmp/index"), newBatch.toDF("id", "text"))
+    },
+
     // benchmark decontamination (GPT-3 13-gram rule): every 97th doc
     // contributes a 30-word excerpt (words 11..40) as a "benchmark"
     // item; the engine must flag exactly the docs containing those
@@ -2479,41 +2500,13 @@ object SparkEntry {
     // the WINNOW-1 chain recomputed exhaustively: per-position k-gram
     // fold hashes, forward window minima (single-window short docs),
     // fp-cap, containment = shared / min sizes — all deterministic
-    "t_containment" ->
-      ("WITH base AS (SELECT doc_id AS id, text FROM documents), " +
-        "corpus AS (SELECT id, text FROM base " +
-        "UNION ALL SELECT id + 2000000, " +
-        "'alpha beta gamma delta padding ' || text || " +
-        "' omega psi chi padding words' FROM base WHERE id % 4 = 0), " +
-        "ch AS (SELECT id, list_transform(list_filter(" +
-        "string_split(text, ''), c -> c <> ''), " +
-        "c -> ascii(c)::BIGINT) AS cs FROM corpus), " +
-        "sz AS (SELECT id, cs, len(cs) - 7 AS m FROM ch), " +
-        "kg AS (SELECT id, m, i AS pos, " +
-        "list_reduce(list_prepend(0::BIGINT, cs[i+1:i+8]), " +
-        "(a, c) -> (a * 31 + c) % 1000000007) AS h " +
-        "FROM (SELECT id, cs, m, " +
-        "unnest(generate_series(0, (m-1)::BIGINT)) AS i " +
-        "FROM sz WHERE m >= 1)), " +
-        "wm AS (SELECT id, pos, m, min(h) OVER (PARTITION BY id " +
-        "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS f " +
-        "FROM kg), " +
-        "fp0 AS (SELECT DISTINCT id, f FROM wm " +
-        "WHERE m > 16 AND pos <= m - 16 " +
-        "UNION SELECT id, min(h) AS f FROM kg WHERE m <= 16 " +
-        "GROUP BY id), " +
-        "kept AS (SELECT f FROM fp0 GROUP BY f " +
-        "HAVING count(*) <= 64), " +
-        "fp AS (SELECT id, f FROM fp0 JOIN kept USING (f)), " +
-        "cnt AS (SELECT id, count(*) AS n FROM fp GROUP BY 1), " +
-        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS s " +
-        "FROM fp a JOIN fp b USING (f) WHERE a.id < b.id " +
-        "GROUP BY 1, 2) " +
-        "SELECT id_a, id_b, " +
-        "round(s * 1.0 / least(ca.n, cb.n), 4) AS containment " +
-        "FROM inter JOIN cnt ca ON ca.id = id_a " +
-        "JOIN cnt cb ON cb.id = id_b " +
-        "WHERE round(s * 1.0 / least(ca.n, cb.n), 4) >= 0.5"),
+    "t_containment" -> containmentOracleSql("a.id < b.id"),
+
+    // same WINNOW-1 chain over the identical union corpus — only the
+    // pair predicate differs: the incremental engine can form ONLY
+    // inter-set (history, new) pairs, never intra-set ones
+    "t_containment_incremental" ->
+      containmentOracleSql("a.id < 2000000 AND b.id >= 2000000"),
 
     "t_decontaminate" -> decontaminateOracleSql,
 
@@ -2966,6 +2959,49 @@ object SparkEntry {
     * for the twinned ids; computed by a window count over the
     * formula-recomputed hashes.
     */
+  /** The WINNOW-1 chain recomputed exactly in SQL over the planted
+    * padding-embed corpus (history docs + every-4th doc wrapped in
+    * fresh padding under id+2000000): fold hashes, forward-window
+    * minima, fpCap, containment scores. `pairWhere` selects which
+    * (a, b) pairs may form — the batch query allows any a.id < b.id,
+    * the incremental query only (history, new) inter-set pairs.
+    */
+  private def containmentOracleSql(pairWhere: String): String =
+    "WITH base AS (SELECT doc_id AS id, text FROM documents), " +
+      "corpus AS (SELECT id, text FROM base " +
+      "UNION ALL SELECT id + 2000000, " +
+      "'alpha beta gamma delta padding ' || text || " +
+      "' omega psi chi padding words' FROM base WHERE id % 4 = 0), " +
+      "ch AS (SELECT id, list_transform(list_filter(" +
+      "string_split(text, ''), c -> c <> ''), " +
+      "c -> ascii(c)::BIGINT) AS cs FROM corpus), " +
+      "sz AS (SELECT id, cs, len(cs) - 7 AS m FROM ch), " +
+      "kg AS (SELECT id, m, i AS pos, " +
+      "list_reduce(list_prepend(0::BIGINT, cs[i+1:i+8]), " +
+      "(a, c) -> (a * 31 + c) % 1000000007) AS h " +
+      "FROM (SELECT id, cs, m, " +
+      "unnest(generate_series(0, (m-1)::BIGINT)) AS i " +
+      "FROM sz WHERE m >= 1)), " +
+      "wm AS (SELECT id, pos, m, min(h) OVER (PARTITION BY id " +
+      "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS f " +
+      "FROM kg), " +
+      "fp0 AS (SELECT DISTINCT id, f FROM wm " +
+      "WHERE m > 16 AND pos <= m - 16 " +
+      "UNION SELECT id, min(h) AS f FROM kg WHERE m <= 16 " +
+      "GROUP BY id), " +
+      "kept AS (SELECT f FROM fp0 GROUP BY f " +
+      "HAVING count(*) <= 64), " +
+      "fp AS (SELECT id, f FROM fp0 JOIN kept USING (f)), " +
+      "cnt AS (SELECT id, count(*) AS n FROM fp GROUP BY 1), " +
+      "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS s " +
+      s"FROM fp a JOIN fp b USING (f) WHERE $pairWhere " +
+      "GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, " +
+      "round(s * 1.0 / least(ca.n, cb.n), 4) AS containment " +
+      "FROM inter JOIN cnt ca ON ca.id = id_a " +
+      "JOIN cnt cb ON cb.id = id_b " +
+      "WHERE round(s * 1.0 / least(ca.n, cb.n), 4) >= 0.5"
+
   // the same 13-gram construction as Retrieval.decontaminate; DuckDB
   // list slices are 1-based inclusive (ws[i:i+12] == slice(ws, i, 13)).
   // Shared by t_decontaminate (direct) and x_config_retrieval (the

@@ -85,6 +85,20 @@ object Winnow {
     res
   }
 
+  /** Slim (f, id) fingerprint table of a corpus — one row per distinct
+    * fingerprint value per doc. Persist this for a HISTORICAL corpus
+    * (the winnowing analogue of MinHashDedup.bandIndex): history text
+    * is fingerprinted ONCE, and later batches join the stored index.
+    */
+  def fingerprintIndex(spark: SparkSession, corpus: DataFrame,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    import spark.implicits._
+    corpus.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        fingerprints(t, k, w).iterator.map(f => (f, id))
+      }.toDF("f", "id")
+  }
+
   /** Containment pairs over (id: Long, text: String): (id_a, id_b,
     * containment) with id_a < id_b and score >= threshold. See the
     * WINNOW-1 contract above; everything is deterministic and mirrored
@@ -94,10 +108,7 @@ object Winnow {
       k: Int = 8, w: Int = 16, threshold: Double = 0.5,
       fpCap: Int = 64): DataFrame = {
     import spark.implicits._
-    val fp = corpus.as[(Long, String)]
-      .flatMap { case (id, t) =>
-        fingerprints(t, k, w).iterator.map(f => (f, id))
-      }.toDF("f", "id")
+    val fp = fingerprintIndex(spark, corpus, k, w)
     // boilerplate guard: a fingerprint shared by > fpCap docs (site
     // chrome, license headers) would expand to > cap^2 pairs; dropping
     // it is DETERMINISTIC and mirrored by the oracle
@@ -114,6 +125,45 @@ object Winnow {
     shared
       .join(sizes.toDF("id_a", "na"), Seq("id_a"))
       .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
+      .withColumn("containment",
+        round($"s" * 1.0 / least($"na", $"nb"), 4))
+      .filter($"containment" >= threshold)
+      .select($"id_a", $"id_b", $"containment")
+  }
+
+  /** Inter-set containment of a NEW batch against a persisted history
+    * index (the day-2 shape): only the new batch is fingerprinted;
+    * history rides in as the stored (f, id) table. Returns (id_a =
+    * history id, id_b = new id, containment) pairs at or above
+    * threshold — intra-history and intra-batch pairs are never formed.
+    *
+    * The fpCap counts docs across history + batch combined, and sizes
+    * are post-cap — IDENTICAL discipline to containmentPairs, so
+    * incremental(index(hist), batch) equals the inter-set subset of
+    * containmentPairs(hist ++ batch) exactly (WinnowSpec asserts the
+    * equality; the oracle recomputes the chain over the union).
+    */
+  def containmentIncremental(spark: SparkSession, index: DataFrame,
+      newBatch: DataFrame, k: Int = 8, w: Int = 16,
+      threshold: Double = 0.5, fpCap: Int = 64): DataFrame = {
+    import spark.implicits._
+    val fpH = index.toDF("f", "id")
+    val fpN = fingerprintIndex(spark, newBatch, k, w)
+    val kept = fpH.union(fpN)
+      .groupBy($"f").agg(count(lit(1)).as("docs"))
+      .filter($"docs" <= fpCap)
+      .select($"f")
+    val hk = fpH.join(kept, Seq("f"))
+    val nk = fpN.join(kept, Seq("f"))
+    val hSizes = hk.groupBy($"id").agg(count(lit(1)).as("n"))
+    val nSizes = nk.groupBy($"id").agg(count(lit(1)).as("n"))
+    val shared = hk.toDF("f", "id_a")
+      .join(nk.toDF("f", "id_b"), Seq("f"))
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("s"))
+    shared
+      .join(hSizes.toDF("id_a", "na"), Seq("id_a"))
+      .join(nSizes.toDF("id_b", "nb"), Seq("id_b"))
       .withColumn("containment",
         round($"s" * 1.0 / least($"na", $"nb"), 4))
       .filter($"containment" >= threshold)

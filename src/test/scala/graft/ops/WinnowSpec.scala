@@ -83,6 +83,30 @@ class WinnowSpec extends AnyFunSuite {
       s"chrome produced ${noisyPairs.length} pairs")
   }
 
+  test("incremental against a persisted index equals the inter-set " +
+    "subset of the batch op on the union corpus") {
+    import spark.implicits._
+    val r = new java.util.Random(17)
+    def rand(words: Int): String =
+      (0 until words).map(_ => "abcdefgh"(r.nextInt(8)).toString * 3)
+        .mkString(" ")
+    val hist = (0L until 30L).map(id => (id, rand(30)))
+    // new batch: 10 padded embeds of history docs + 5 fresh docs
+    val batch = hist.take(10).map { case (id, t) =>
+      (id + 1000L, "xx padding yy " + t + " zz tail ww")
+    } ++ (1200L until 1205L).map(id => (id, rand(25)))
+    val histDf = spark.createDataset(hist).toDF("id", "text")
+    val batchDf = spark.createDataset(batch).toDF("id", "text")
+    val union = spark.createDataset(hist ++ batch).toDF("id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val inc = key(Winnow.containmentIncremental(spark,
+      Winnow.fingerprintIndex(spark, histDf), batchDf).collect())
+    val batchOp = key(Winnow.containmentPairs(spark, union).collect()
+      .filter(x => x.getLong(0) < 1000 && x.getLong(1) >= 1000))
+    assert(inc == batchOp && inc.size >= 10, s"inc=${inc.size}")
+  }
+
   test("degenerate inputs: empty, shorter than k, exactly k, repeated " +
     "single char — no throw, deterministic") {
     assert(Winnow.fingerprints("").isEmpty)
