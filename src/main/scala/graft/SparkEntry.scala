@@ -2587,21 +2587,20 @@ object SparkEntry {
     "t_bm25" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
         "x -> x <> '') AS ws FROM documents), " +
-        "tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM " +
-        "(SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM toks), " +
-        "st AS (SELECT count(*)::BIGINT AS n, " +
-        "sum(len(ws))::BIGINT AS sdl FROM toks), " +
+        "tf AS (SELECT doc_id, len(ws)::BIGINT AS dl, w, " +
+        "count(*)::BIGINT AS tf FROM " +
+        "(SELECT doc_id, ws, unnest(ws) AS w FROM toks) GROUP BY 1, 2, 3), " +
+        "st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl " +
+        "FROM (SELECT DISTINCT doc_id, dl FROM tf)), " +
         "df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1), " +
         "q AS (SELECT doc_id AS qid, unnest(list_distinct(ws[1:4])) AS w " +
         "FROM toks WHERE doc_id % 101 = 0), " +
         "sc AS (SELECT q.qid, tf.doc_id, " +
         "round(ln(1 + (st.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) " +
         "* (tf.tf * (1.2::DOUBLE + 1)) / (tf.tf + 1.2::DOUBLE * " +
-        "(1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl / (st.sdl * 1.0 / st.n))) " +
+        "(1 - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl / (st.sdl * 1.0 / st.n))) " +
         "* 1e6)::BIGINT AS s " +
-        "FROM q JOIN tf USING (w) JOIN df USING (w) " +
-        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st), " +
+        "FROM q JOIN tf USING (w) JOIN df USING (w) CROSS JOIN st), " +
         "agg AS (SELECT qid, doc_id, sum(s)::BIGINT AS score_scaled " +
         "FROM sc GROUP BY 1, 2) " +
         "SELECT qid, rn, doc_id, score_scaled FROM " +

@@ -88,15 +88,22 @@ object Retrieval {
     // inverted-index cells carry the doc length (the standard postings
     // layout) so scoring needs no corpus-sized doc-stats join later;
     // dl is functionally dependent on doc_id, so the extra group key
-    // does not change the aggregation
+    // does not change the aggregation. The index is materialized ONCE
+    // (localCheckpoint — the Ann.lshTopK discipline; a production run
+    // persists it to a table): document frequencies AND corpus stats
+    // both derive from the stored cells, so the corpus text is
+    // tokenized exactly one time no matter how many consumers read the
+    // index. Consequence (mirrored in the oracle): a doc with zero
+    // tokens has no cells and drops out of N/avgdl — it can never
+    // match a query anyway.
     val tf = tokd
       .select($"doc_id", size($"ws").cast("long").as("dl"),
         explode($"ws").as("w"))
       .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
-    val stats = tokd.agg(
-      count(lit(1)).as("n"),
-      sum(size($"ws")).as("sdl"))
+    val stats = tf.select($"doc_id", $"dl").distinct()
+      .agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
     val qTerms = queries.select($"qid", explode($"terms").as("w"))
     // expression SHAPE matches the oracle SQL exactly (cross-engine
     // doubles: identical shape -> identical bits; then scaled-long)

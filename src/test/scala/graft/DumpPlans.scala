@@ -46,6 +46,10 @@ object DumpPlans {
       SparkEntry.queries("q_skew_salted")(spark, sf))
     dump("t_kmv_distinct (ObjectHashAggregate partial/merge)",
       SparkEntry.queries("t_kmv_distinct")(spark, sf))
+    dump("t_bm25 (inverted index + broadcast query-side joins)",
+      SparkEntry.queries("t_bm25")(spark, sf))
+    dump("t_decontaminate (broadcast bench grams)",
+      SparkEntry.queries("t_decontaminate")(spark, sf))
     spark.stop()
   }
 }

@@ -229,6 +229,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieval joins broadcast the query-sized sides — bm25 " +
+    "postings and decontamination bench grams never shuffle-join") {
+    val bm = executed(SparkEntryAccess.query("t_bm25")(spark, sf))
+    assert(bm.contains("BroadcastHashJoin"), bm)
+    assert(!bm.contains("SortMergeJoin"), bm)
+    val de = executed(
+      SparkEntryAccess.query("t_decontaminate")(spark, sf))
+    assert(de.contains("BroadcastHashJoin"), de)
+    assert(!de.contains("SortMergeJoin"), de)
+  }
+
   test("minhash candidate generation shuffles slim rows only") {
     import spark.implicits._
     val docs = spark.createDataset(Seq((1L, "a b c d e f g")))
