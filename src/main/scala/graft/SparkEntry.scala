@@ -1302,6 +1302,15 @@ object SparkEntry {
         s, docs(s, dir).select($"doc_id", $"text"))
     },
 
+    // context-length chunking: 32-token windows advancing by 24 (8-token
+    // overlap); chunk md5 pins exact content, the trailing chunk may be
+    // short, every token lands in at least one chunk
+    "t_chunk" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Retrieval.chunk(
+        s, docs(s, dir).select($"doc_id", $"text"))
+    },
+
     // the TRAINING-MIX flagship: the retrieval family composed end to
     // end over a 4x-source-skewed corpus — benchmark decontamination
     // (excerpt grams out, copies of contaminated docs drop too),
@@ -2509,6 +2518,25 @@ object SparkEntry {
       containmentOracleSql("a.id < 2000000 AND b.id >= 2000000"),
 
     "t_decontaminate" -> decontaminateOracleSql,
+
+    // 1 chunk when n <= 32, else 1 + ceil((n-32)/24) — pure integer
+    // arithmetic; DuckDB list slice ws[a:b] is 1-based inclusive ==
+    // Spark slice(ws, a, 32)
+    "t_chunk" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+        "ELSE (len(ws) - 32 + 24 - 1) // 24 + 1 END AS nc " +
+        "FROM toks WHERE len(ws) >= 1), " +
+        "e AS (SELECT doc_id, ws, " +
+        "unnest(generate_series(0, (nc - 1)::BIGINT)) AS chunk_idx " +
+        "FROM c), " +
+        "ch AS (SELECT doc_id, chunk_idx, " +
+        "ws[(chunk_idx * 24 + 1)::INT:(chunk_idx * 24 + 32)::INT] AS chunk " +
+        "FROM e) " +
+        "SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens, " +
+        "md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_hash " +
+        "FROM ch"),
 
     // the three chains recomposed in one statement: decon grams over
     // the SKEWED corpus, budgets over the survivors, LM trained on the

@@ -181,6 +181,42 @@ object Retrieval {
       .agg(count(lit(1)).as("kept"), sum($"doc_id").as("kept_id_sum"))
   }
 
+  /** Fixed-size overlapping token chunking — the context-length prep
+    * step (split every document into windows of `size` tokens advancing
+    * by `stride`, so consecutive chunks overlap by size - stride).
+    * Returns (doc_id, chunk_idx, n_tokens, chunk_hash) where chunk_hash
+    * is md5 of the space-joined chunk text — enough to pin exact chunk
+    * CONTENT in the oracle without shipping the text twice.
+    *
+    * Chunk count is exact integer arithmetic on both engines:
+    * 1 chunk when n <= size, else 1 + ceil((n - size) / stride) — the
+    * final chunk may be shorter, and every token lands in at least one
+    * chunk. Scale shape: one narrow projection, one explode bounded by
+    * ~n/stride rows per doc, no shuffle at all — chunking is embarrass-
+    * ingly parallel and stays in whole-stage codegen.
+    */
+  def chunk(spark: SparkSession, corpus: DataFrame,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    import spark.implicits._
+    val tokd = corpus.select($"doc_id", toks($"text").as("ws"))
+      .filter(org.apache.spark.sql.functions.size($"ws") >= 1)
+    val n = org.apache.spark.sql.functions.size($"ws")
+    val nChunks = when(n <= size, lit(1L)).otherwise(
+      expr(s"(size(ws) - $size + $stride - 1) div $stride") + 1L)
+    tokd
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        slice($"ws", ($"chunk_idx" * stride + 1).cast("int"),
+          lit(size)).as("chunk"))
+      .select($"doc_id", $"chunk_idx",
+        org.apache.spark.sql.functions.size($"chunk").cast("long")
+          .as("n_tokens"),
+        md5(array_join($"chunk", " ")).as("chunk_hash"))
+  }
+
   /** Bigram-LM quality score (CCNet-style, self-trained): train
     * add-one-smoothed bigram probabilities on the corpus itself, then
     * score each document by its mean negative log probability — high

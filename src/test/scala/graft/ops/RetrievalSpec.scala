@@ -58,6 +58,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out("B") == ((4L, 3L, 3L)))
   }
 
+  test("chunk: hand-computed windows — counts, trailing short chunk, " +
+    "full token coverage, exact content hashes") {
+    import spark.implicits._
+    val words = (1 to 80).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),  // 80 tokens: chunks at 0,24,48 len 32,32,32
+      (2L, words.take(10).mkString(" ")), // single short chunk
+      (3L, "")                    // zero tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = Retrieval.chunk(spark, corpus)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getString(3)))).toMap
+    // n=80: nc = 1 + ceil(48/24) = 3; chunk2 covers 49..80 (32 tokens)
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(out((1L, 0L))._1 == 32 && out((1L, 2L))._1 == 32)
+    assert(out((2L, 0L))._1 == 10)
+    def h(s: Seq[String]) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out((1L, 1L))._2 == h(words.slice(24, 56)))
+    assert(out((2L, 0L))._2 == h(words.take(10)))
+    // every token of doc 1 is covered by some chunk
+    val covered = Seq(0, 24, 48).flatMap(s => s until (s + 32)).toSet
+    assert((0 until 80).forall(covered))
+  }
+
   test("lmScore: add-one bigram NLL, hand-computed") {
     import spark.implicits._
     val corpus = Seq(
