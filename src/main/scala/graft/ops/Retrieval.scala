@@ -104,7 +104,11 @@ object Retrieval {
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val stats = tf.select($"doc_id", $"dl").distinct()
       .agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+    // a query is a SET of terms: dedup after the explode so a caller
+    // passing repeated terms (or repeated query rows) cannot double-
+    // count a term's contribution in the score sum
     val qTerms = queries.select($"qid", explode($"terms").as("w"))
+      .distinct()
     // expression SHAPE matches the oracle SQL exactly (cross-engine
     // doubles: identical shape -> identical bits; then scaled-long)
     val avgdl = $"sdl" * 1.0 / $"n"

@@ -43,6 +43,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows(1)._3 == exp1)
   }
 
+  test("bm25 treats a query as a term SET: repeated terms (and a " +
+    "repeated query row) score identically to the deduped query") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple banana"),
+      (3L, "cherry")
+    ).toDF("doc_id", "text")
+    val clean = Seq((10L, Seq("apple")))
+      .toDF("qid", "terms")
+    val noisy = Seq((10L, Seq("apple", "apple")), (10L, Seq("apple")))
+      .toDF("qid", "terms")
+    val a = Retrieval.bm25TopK(spark, corpus, clean, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val b = Retrieval.bm25TopK(spark, corpus, noisy, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("temperatureBalance: sqrt budgets flatten a 16-vs-4 split " +
     "(budget 6 and 3 of a half-corpus total 10)") {
     import spark.implicits._
