@@ -720,9 +720,8 @@ object SparkEntry {
     // (scan-order palette, spec LZW with growing code widths) of the
     // same pixel formulas; Spark must walk blocks, LZW-decode,
     // palette-map and land the identical content hash + band
-    // embedding the oracle recomputes from the formulas — the last
-    // compressed still format closed with nothing but the spec
-    // (JPEG stays a documented permanent stub: lossy).
+    // embedding the oracle recomputes from the formulas — closed with
+    // nothing but the spec (JPEG followed in MEDIA-6, t_media_jpeg).
     "t_media_gif" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id")
@@ -736,6 +735,50 @@ object SparkEntry {
         element_at($"embedding", d + 1).cast("long").as(s"e$d"))
       feats.select(
         ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
+    },
+
+    // MEDIA-6: real baseline JPEG decode. Payloads are full baseline
+    // files (JFIF/DQT/SOF0/DHT/SOS + Huffman entropy data, every 3rd
+    // with restart markers); Spark must walk markers, build canonical
+    // Huffman tables, entropy-decode, dequantize and IDCT to land the
+    // hash + bands the oracle recomputes from the flat-tile formulas —
+    // exact because quant-8 DC-only blocks round-trip losslessly
+    // (see ops.Jpeg). The last still format, closed with the spec.
+    "t_media_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Jpeg.synthJpegContent(id))
+        }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val embCols = (0 until 8).map(d =>
+        element_at($"embedding", d + 1).cast("long").as(s"e$d"))
+      feats.select(
+        ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
+    },
+
+    // cross-format identity, fourth container: the flat pixels as an
+    // uncompressed BMP vs as a DCT-compressed JPEG — joining on the
+    // decoded content hash must recover exactly the planted pairs
+    "t_media_jpeg_cross" -> { (s, dir) =>
+      import s.implicits._
+      val ids = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+      val media = ids.flatMap { id =>
+        Seq(
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Jpeg.synthJpegTwinBmp(id)),
+          graft.ops.Multimodal.MediaRow(id + 9000000L, "binary",
+            graft.ops.Jpeg.synthJpegContent(id)))
+      }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val bmp = feats.filter($"format" === "bmp")
+        .select($"media_id".as("bmp_id"), $"content_hash")
+      val jpg = feats.filter($"format" === "jpeg")
+        .select($"media_id".as("jpeg_id"), $"content_hash")
+      bmp.join(jpg, "content_hash").select($"bmp_id", $"jpeg_id")
     },
 
     "t_media_content" -> { (s, dir) =>
@@ -2133,6 +2176,16 @@ object SparkEntry {
     // there through the block walk, LZW and the palette
     "t_media_gif" -> gifContentOracleSql,
 
+    // MEDIA-6: the flat-tile formulas recomputed — Spark must get
+    // there through markers, Huffman, dequant and the IDCT
+    "t_media_jpeg" -> jpegContentOracleSql,
+
+    // the planted BMP/JPEG pairing IS the expectation: a DCT container
+    // of the same pixels must land the identical content hash
+    "t_media_jpeg_cross" ->
+      ("SELECT doc_id AS bmp_id, doc_id + 9000000 AS jpeg_id " +
+        "FROM documents"),
+
     // the planted cross-format tripling IS the expectation: transcode
     // must preserve content identity, byte identity be damned
     "t_media_cross" ->
@@ -3103,6 +3156,31 @@ object SparkEntry {
     lumaFormulaOracleSql("png")
   private lazy val gifContentOracleSql: String =
     lumaFormulaOracleSql("gif")
+
+  /** MEDIA-6 oracle: luma of pixel i is the flat-tile formula
+    * Jpeg.tileLuma(id, (i%w)//8, (i//w)//8) — exact because quant-8
+    * DC-only blocks round-trip losslessly through baseline JPEG.
+    */
+  private lazy val jpegContentOracleSql: String = {
+    val g = "((doc_id*11 + 23*((i%w)//8) + 41*((i//w)//8) + " +
+      "(doc_id % 89 + 1)*(((i%w)//8) + 2)*(((i//w)//8) + 3)) % 256)"
+    val bands = (0 until 8).map { d =>
+      val sel = s"list_filter(idx, i -> (i//w)*8//h = $d)"
+      s"(CASE WHEN len($sel) = 0 THEN 0 ELSE " +
+        s"list_sum(list_transform($sel, i -> $g))::BIGINT // " +
+        s"len($sel) END)::BIGINT AS e$d"
+    }.mkString(", ")
+    "WITH jm AS (SELECT doc_id, 8 + (doc_id * 5) % 29 AS w, " +
+      "8 + (doc_id * 3) % 23 AS h FROM documents), " +
+      "ji AS (SELECT *, generate_series(0, (w*h - 1)::BIGINT) AS idx " +
+      "FROM jm), " +
+      "jh AS (SELECT doc_id, " +
+      fnv(s"list_transform(idx, i -> $g::HUGEINT)") +
+      s" AS hh, $bands FROM ji) " +
+      "SELECT doc_id AS media_id, 'jpeg' AS format, " +
+      toSigned("hh") + " AS content_hash, " +
+      (0 until 8).map(d => s"e$d").mkString(", ") + " FROM jh"
+  }
 
   private lazy val mediaContentOracleSql: String = {
     val bmpBands = (0 until 8).map { d =>

@@ -19,11 +19,10 @@ import org.apache.spark.sql.functions._
   *    uncompressed 24-bit BMP and 16-bit PCM WAV (see
   *    `decodeBmpContent`/`decodeWavContent`) — integer 8-band
   *    embeddings + FNV-1a content hashes; MEDIA-4 decodes compressed
-  *    PNG for real (JDK Inflater) and MEDIA-5 decodes GIF for real
-  *    (hand-rolled spec LZW); JPEG content is a PERMANENT labeled stub
-  *    (lossy DCT admits no formula-exact contract — see
-  *    extractFeatures) whose production swap point is a real codec
-  *    (e.g. TwelveMonkeys/JavaCV);
+  *    PNG for real (JDK Inflater), MEDIA-5 decodes GIF for real
+  *    (hand-rolled spec LZW), and MEDIA-6 decodes baseline JPEG for
+  *    real (spec Huffman + frozen IDCT, see ops.Jpeg) — out-of-scope
+  *    JPEG flavors (progressive/arithmetic/12-bit) stub-fallback;
   *  - stills (png/bmp/jpeg) report n_frames = 1; GIF reports its image-
   *    descriptor count from the block walk (animated GIFs get real
   *    frame counts, min 1); WAV reports data-chunk sample frames
@@ -194,9 +193,8 @@ object Multimodal {
     *    16-bit samples (band of sample i = i*8/n), each the floor-mean
     *    ABSOLUTE sample value.
     * All arithmetic is integer, so a SQL oracle recomputes the values
-    * exactly from the synthesis formulas. PNG and GIF get the same
-    * contract via their real decoders (MEDIA-4/MEDIA-5); JPEG stays on
-    * the labeled stub — the documented swap point for a real codec.
+    * exactly from the synthesis formulas. PNG, GIF and baseline JPEG
+    * get the same contract via their real decoders (MEDIA-4/5/6).
     */
   def decodeBmpContent(b: Array[Byte]): Option[(Long, Seq[Float])] = {
     if (b.length < 54 || !ascii(b, 0, "BM") || le32(b, 14) != 40L)
@@ -370,13 +368,7 @@ object Multimodal {
           case "wav" => decodeWavContent(m.payload)
           case "png" => decodePngContent(m.payload) // MEDIA-4 (DEFLATE)
           case "gif" => decodeGifContent(m.payload) // MEDIA-5 (LZW)
-          // JPEG: PERMANENT content stub by design (MEDIA-1 header
-          // parse stays real). Baseline JPEG is LOSSY — quantized DCT
-          // coefficients round-trip to DIFFERENT pixels, so no
-          // formula-exact cross-engine content contract exists to
-          // freeze, unlike the bit-exact BMP/WAV/PNG/GIF decoders.
-          // Production swap point: a real codec (e.g. TwelveMonkeys)
-          // replacing this branch, with a codec-pinned contract.
+          case "jpeg" => Jpeg.decodeContent(m.payload) // MEDIA-6 (DCT)
           case _     => None
         }).getOrElse((stub._4, stub._5))
         MediaFeatures(m.media_id, m.kind, fmt, m.payload.length.toLong,

@@ -112,9 +112,15 @@ object Versions {
     * v5 (MEDIA-5): real GIF content decode (spec LZW with growing
     * code widths, CLEAR/EOI/KwKwK, 4-pass interlace row de-ordering,
     * local-over-global palette); same luma content contract, so GIF
-    * joins the BMP/PNG cross-format identity. JPEG content is a
-    * PERMANENT stub (lossy DCT admits no formula-exact contract);
+    * joins the BMP/PNG cross-format identity.
+    * v6 (MEDIA-6): real baseline JPEG content decode (ops.Jpeg —
+    * T.81 marker walk, canonical Huffman, byte-unstuffed bit reader,
+    * RSTn, dequant + frozen IDCT: exact integer shortcut for DC-only
+    * blocks, StrictMath-kernel double path otherwise; 1- or
+    * 3-component with full-res component 0, single interleaved scan;
+    * content = the LUMA plane under the shared hash/band contract).
+    * Progressive/arithmetic/12-bit/hierarchical JPEG stub-fallback;
     * prior formats unchanged.
     */
-  val MediaVersion = "v5"
+  val MediaVersion = "v6"
 }
