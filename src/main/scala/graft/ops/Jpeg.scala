@@ -34,10 +34,22 @@ package graft.ops
   * (nonzero-AC) encodes are cross-validated against ImageIO in
   * JpegSpec instead.
   *
+  * MEDIA-7 extends the scope to PROGRESSIVE JPEG (SOF2, T.81 Annex G):
+  * a per-block luma coefficient store accumulates across scans —
+  * DC first/refinement (interleaved or single-component), AC
+  * first/refinement with EOB-run semantics — and dequant + IDCT run
+  * once at EOI. Chroma-only scans are skipped wholesale (their entropy
+  * data carries nothing the luma contract needs; the marker walk
+  * re-syncs byte-wise), so a 3-component progressive decode does no
+  * chroma Huffman work at all. The flat-tile losslessness argument
+  * carries over unchanged: the same quantized coefficients arrive,
+  * scan script notwithstanding, so the progressive fixture family
+  * shares the baseline formula oracle.
+  *
   * Out-of-scope byte streams return None and fall back to the labeled
-  * stub, never throw: progressive/arithmetic/lossless/hierarchical
-  * SOFn, 12-bit precision, >3 components, multi-scan sequential files,
-  * and any truncated or corrupt stream.
+  * stub, never throw: arithmetic/lossless/hierarchical SOFn, 12-bit
+  * precision, >3 components, multi-scan SEQUENTIAL files, and any
+  * truncated or corrupt stream.
   */
 object Jpeg {
 
@@ -341,11 +353,13 @@ object Jpeg {
     var ta = 0
   }
 
-  /** Baseline decode to the luma plane: Some((w, h, top-down row-major
-    * luma bytes)) or None (stub fallback) for anything outside the
-    * MEDIA-6 scope or any corrupt/truncated stream. Accepts SOF0/SOF1,
-    * 8-bit, 1 or 3 components (component 0 at full sampling
-    * resolution), a single interleaved scan, DRI/RSTn.
+  /** Decode to the luma plane: Some((w, h, top-down row-major luma
+    * bytes)) or None (stub fallback) for anything outside the
+    * MEDIA-6/7 scope or any corrupt/truncated stream. Accepts
+    * SOF0/SOF1 (baseline/extended sequential, single interleaved
+    * scan) and SOF2 (progressive: spectral selection + successive
+    * approximation, T.81 Annex G) — 8-bit, 1 or 3 components with
+    * component 0 at full sampling resolution, DRI/RSTn.
     */
   def decodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
@@ -358,20 +372,36 @@ object Jpeg {
     var h = 0
     var comps: Array[Comp] = null
     var dri = 0
+    // progressive (MEDIA-7) state: the luma coefficient store persists
+    // across scans; lastAl tracks each coefficient's successive-
+    // approximation history so out-of-order scan scripts fail closed
+    var prog = false
+    var hMax = 1
+    var vMax = 1
+    var lumaBW = 0
+    var lumaBH = 0
+    var progCoef: Array[Short] = null
+    val lastAl = Array.fill(64)(-1)
     while (p + 2 <= b.length) {
       if (u8(b, p) != 0xFF) return None
       p += 1
       var m = u8(b, p)
       p += 1
       while (m == 0xFF && p < b.length) { m = u8(b, p); p += 1 } // fill
-      // EOI before any scan, stray RSTn/TEM, or a second SOI: corrupt
-      if (m == 0xD9 || m == 0xD8 || m == 0x01 ||
-        (m >= 0xD0 && m <= 0xD7)) return None
+      // EOI closes a progressive file whose luma DC arrived (AC bands
+      // never scanned stay zero, per Annex G); anywhere else: corrupt
+      if (m == 0xD9)
+        return if (prog && lastAl(0) >= 0 && qtSeen(comps(0).tq))
+          finishProg(w, h, lumaBW, lumaBH, progCoef, qt(comps(0).tq))
+        else None
+      // stray RSTn/TEM or a second SOI: corrupt
+      if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) return None
       if (p + 2 > b.length) return None
       val len = be16(b, p)
       if (len < 2 || p + len > b.length) return None
       val seg = p + 2
       val segEnd = p + len
+      var resume = segEnd
       m match {
         case 0xDB => // DQT: one or more tables, 8- or 16-bit precision
           var q = seg
@@ -411,7 +441,7 @@ object Jpeg {
             if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
             q += 17 + n
           }
-        case 0xC0 | 0xC1 => // baseline / extended sequential (Huffman)
+        case 0xC0 | 0xC1 | 0xC2 => // sequential (C0/C1) / progressive (C2)
           if (comps != null) return None
           if (len < 8 || u8(b, seg) != 8) return None // 8-bit only
           h = be16(b, seg + 1)
@@ -433,36 +463,396 @@ object Jpeg {
               return None
             ci += 1
           }
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          if (m == 0xC2) {
+            prog = true
+            ci = 0
+            while (ci < nc) {
+              if (comps(ci).h > hMax) hMax = comps(ci).h
+              if (comps(ci).v > vMax) vMax = comps(ci).v
+              ci += 1
+            }
+            // the content contract is the luma plane: component 0 must
+            // be the full-resolution one (true of every JFIF layout)
+            if (comps(0).h != hMax || comps(0).v != vMax) return None
+            // the coefficient store lives until EOI — tighter pixel cap
+            // than baseline's streaming one-pass bound
+            if (w.toLong * h > (1L << 24)) return None
+            lumaBW = (w + 7) / 8
+            lumaBH = (h + 7) / 8
+            progCoef = new Array[Short](lumaBW * lumaBH * 64)
+          }
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
-          return None // progressive/lossless/arithmetic: out of scope
+          return None // lossless/differential/arithmetic: out of scope
         case 0xDD => // DRI
           if (len != 4) return None
           dri = be16(b, seg)
-        case 0xDA => // SOS: single interleaved scan, then done
+        case 0xDA => // SOS
           if (comps == null) return None
-          val ns = u8(b, seg)
-          if (ns != comps.length || len != 6 + 2 * ns) return None
-          var i = 0
-          while (i < ns) {
-            if (u8(b, seg + 1 + 2 * i) != comps(i).cid) return None
-            comps(i).td = u8(b, seg + 2 + 2 * i) >> 4
-            comps(i).ta = u8(b, seg + 2 + 2 * i) & 15
-            if (comps(i).td > 3 || comps(i).ta > 3) return None
-            i += 1
+          if (!prog) { // sequential: single interleaved scan, then done
+            val ns = u8(b, seg)
+            if (ns != comps.length || len != 6 + 2 * ns) return None
+            var i = 0
+            while (i < ns) {
+              if (u8(b, seg + 1 + 2 * i) != comps(i).cid) return None
+              comps(i).td = u8(b, seg + 2 + 2 * i) >> 4
+              comps(i).ta = u8(b, seg + 2 + 2 * i) & 15
+              if (comps(i).td > 3 || comps(i).ta > 3) return None
+              i += 1
+            }
+            // baseline spectral selection / approximation: 0, 63, 0
+            if (u8(b, segEnd - 3) != 0 || u8(b, segEnd - 2) != 63 ||
+              u8(b, segEnd - 1) != 0) return None
+            return decodeScan(b, segEnd, w, h, comps, qt, qtSeen,
+              dcTabs, acTabs, dri)
           }
-          // baseline spectral selection / approximation: 0, 63, 0
-          if (u8(b, segEnd - 3) != 0 || u8(b, segEnd - 2) != 63 ||
-            u8(b, segEnd - 1) != 0) return None
-          return decodeScan(b, segEnd, w, h, comps, qt, qtSeen,
-            dcTabs, acTabs, dri)
+          // progressive: decode (or skip) this scan, then carry on
+          // walking markers — the entropy data ends at the next
+          // non-RST marker regardless of what we decoded from it
+          if (!progScan(b, seg, segEnd, len, w, h, comps, dcTabs,
+            acTabs, dri, hMax, vMax, lumaBW, lumaBH, progCoef, lastAl))
+            return None
+          resume = nextMarkerPos(b, segEnd)
+          if (resume < 0) return None
         case _ =>
           if ((m >= 0xE0 && m <= 0xEF) || m == 0xFE) () // APPn / COM
           else return None
       }
-      p = segEnd
+      p = resume
     }
     None
+  }
+
+  /** first position of a 0xFF that starts a real marker (not a stuffed
+    * data byte, fill byte, or in-scan RSTn), or -1. How the marker walk
+    * recovers segment framing after progressive entropy data.
+    */
+  private def nextMarkerPos(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if (u8(b, p) != 0xFF) p += 1
+      else {
+        val n = u8(b, p + 1)
+        if (n == 0x00) p += 2 // stuffed data FF
+        else if (n == 0xFF) p += 1 // fill byte
+        else if (n >= 0xD0 && n <= 0xD7) p += 2 // restart, inside scan
+        else return p
+      }
+    }
+    -1
+  }
+
+  /** one progressive scan (T.81 Annex G): validates the scan header
+    * against the per-coefficient successive-approximation history,
+    * then dispatches to the DC/AC first/refinement decoders. Scans not
+    * touching component 0 are skipped wholesale — their entropy data
+    * carries nothing the luma contract needs, and the marker walk
+    * re-syncs byte-wise (nextMarkerPos).
+    */
+  private def progScan(b: Array[Byte], seg: Int, segEnd: Int, len: Int,
+      w: Int, h: Int, comps: Array[Comp], dcTabs: Array[HuffDecoder],
+      acTabs: Array[HuffDecoder], dri: Int, hMax: Int, vMax: Int,
+      lumaBW: Int, lumaBH: Int, coefs: Array[Short],
+      lastAl: Array[Int]): Boolean = {
+    val ns = u8(b, seg)
+    if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return false
+    val scomp = new Array[Int](ns)
+    var i = 0
+    while (i < ns) {
+      val cid = u8(b, seg + 1 + 2 * i)
+      var idx = -1
+      var j = 0
+      while (j < comps.length) { if (comps(j).cid == cid) idx = j; j += 1 }
+      if (idx < 0) return false
+      j = 0
+      while (j < i) { if (scomp(j) == idx) return false; j += 1 }
+      scomp(i) = idx
+      comps(idx).td = u8(b, seg + 2 + 2 * i) >> 4
+      comps(idx).ta = u8(b, seg + 2 + 2 * i) & 15
+      if (comps(idx).td > 3 || comps(idx).ta > 3) return false
+      i += 1
+    }
+    val ss = u8(b, segEnd - 3)
+    val se = u8(b, segEnd - 2)
+    val ah = u8(b, segEnd - 1) >> 4
+    val al = u8(b, segEnd - 1) & 15
+    if (se > 63 || ss > se || al > 13) return false
+    if (ss == 0 && se != 0) return false // DC scans carry only coef 0
+    if (ss > 0 && ns != 1) return false // AC scans are single-component
+    if (ah != 0 && ah != al + 1) return false
+    var hasLuma = false
+    i = 0
+    while (i < ns) { if (scomp(i) == 0) hasLuma = true; i += 1 }
+    if (!hasLuma) return true // chroma-only: skip
+    if (ss > 0 && lastAl(0) < 0) return false // AC before the DC scan
+    var k = ss
+    while (k <= se) { // per-coefficient approximation history
+      if (ah == 0) { if (lastAl(k) >= 0) return false }
+      else if (lastAl(k) != ah) return false
+      k += 1
+    }
+    val ok =
+      if (ss == 0)
+        progDcScan(b, segEnd, w, h, comps, scomp, dcTabs, ah, al, dri,
+          hMax, vMax, lumaBW, lumaBH, coefs)
+      else if (ah == 0)
+        progAcFirst(b, segEnd, acTabs(comps(0).ta), ss, se, al, dri,
+          lumaBW * lumaBH, coefs)
+      else
+        progAcRefine(b, segEnd, acTabs(comps(0).ta), ss, se, al, dri,
+          lumaBW * lumaBH, coefs)
+    if (!ok) return false
+    k = ss
+    while (k <= se) { lastAl(k) = al; k += 1 }
+    true
+  }
+
+  /** progressive DC scan, interleaved or single-component: the first
+    * pass (Ah=0) decodes DC diffs into pred<<Al; refinements append
+    * one bit<<Al per block. Non-luma components are entropy-decoded
+    * for stream position only.
+    */
+  private def progDcScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[Comp], scomp: Array[Int],
+      dcTabs: Array[HuffDecoder], ah: Int, al: Int, dri: Int,
+      hMax: Int, vMax: Int, lumaBW: Int, lumaBH: Int,
+      coefs: Array[Short]): Boolean = {
+    val r = new BitReader(b, start)
+    val ns = scomp.length
+    var i = 0
+    while (i < ns) {
+      if (ah == 0 && dcTabs(comps(scomp(i)).td) == null) return false
+      i += 1
+    }
+    val pred = new Array[Int](comps.length)
+    // single-component scans are NOT MCU-tiled (T.81 A.2.2): the MCU
+    // is one data unit over that component's own block grid
+    val single = ns == 1
+    val c0idx = scomp(0)
+    val bw0 =
+      if (single) (w * comps(c0idx).h + 8 * hMax - 1) / (8 * hMax)
+      else (w + 8 * hMax - 1) / (8 * hMax)
+    val bh0 =
+      if (single) (h * comps(c0idx).v + 8 * vMax - 1) / (8 * vMax)
+      else (h + 8 * vMax - 1) / (8 * vMax)
+    val blocks: Array[(Int, Int, Int)] =
+      if (single) Array((c0idx, 0, 0))
+      else (for {
+        i2 <- 0 until ns
+        vv <- 0 until comps(scomp(i2)).v
+        hh <- 0 until comps(scomp(i2)).h
+      } yield (scomp(i2), hh, vv)).toArray
+    val nMcus = bw0 * bh0
+    var mcu = 0
+    var rst = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        if (!r.expectRestart(rst & 7)) return false
+        rst += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mcuX = mcu % bw0
+      val mcuY = mcu / bw0
+      var bi = 0
+      while (bi < blocks.length) {
+        val (ci, bh, bv) = blocks(bi)
+        var dcBit = 0
+        if (ah == 0) {
+          val s = dcTabs(comps(ci).td).decode(r)
+          if (r.bad || s > 15) return false
+          val diff = if (s == 0) 0 else extend(r.bits(s), s)
+          if (r.bad) return false
+          pred(ci) += diff
+        } else {
+          dcBit = r.bit()
+          if (r.bad) return false
+        }
+        if (ci == 0) {
+          val bx = if (single) mcuX else mcuX * comps(0).h + bh
+          val by = if (single) mcuY else mcuY * comps(0).v + bv
+          if (bx < lumaBW && by < lumaBH) { // MCU-grid padding blocks
+            val at = (by * lumaBW + bx) * 64
+            if (ah == 0) coefs(at) = (pred(0) << al).toShort
+            else coefs(at) = (coefs(at) | (dcBit << al)).toShort
+          }
+        }
+        bi += 1
+      }
+      mcu += 1
+    }
+    !r.bad
+  }
+
+  /** progressive AC first scan (G.1.2.2) over the luma block grid:
+    * run-length coefficients at precision Al, with EOBn runs spanning
+    * blocks. Restart intervals reset the EOB run.
+    */
+  private def progAcFirst(b: Array[Byte], start: Int,
+      ac: HuffDecoder, ss: Int, se: Int, al: Int, dri: Int,
+      nBlocks: Int, coefs: Array[Short]): Boolean = {
+    if (ac == null) return false
+    val r = new BitReader(b, start)
+    var eobrun = 0
+    var blk = 0
+    var rst = 0
+    while (blk < nBlocks) {
+      if (dri > 0 && blk > 0 && blk % dri == 0) {
+        if (!r.expectRestart(rst & 7)) return false
+        rst += 1
+        eobrun = 0
+      }
+      if (eobrun > 0) eobrun -= 1
+      else {
+        val base = blk * 64
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = ac.decode(r)
+          if (r.bad) return false
+          val run = rs >> 4
+          val size = rs & 15
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else { // EOBn: this block ends; run-1+extra more follow
+              eobrun = (1 << run) - 1 +
+                (if (run > 0) r.bits(run) else 0)
+              done = true
+            }
+          } else {
+            k += run
+            if (k > se) return false
+            coefs(base + Zigzag(k)) =
+              (extend(r.bits(size), size) << al).toShort
+            k += 1
+          }
+          if (r.bad) return false
+        }
+      }
+      blk += 1
+    }
+    !r.bad
+  }
+
+  /** progressive AC refinement scan (G.1.2.3) over the luma block
+    * grid: adds one magnitude bit to already-nonzero coefficients
+    * (correction bits) and places newly-nonzero ones at +-1<<Al.
+    * EOB-run blocks still consume correction bits for their nonzero
+    * history — the part naive implementations get wrong.
+    */
+  private def progAcRefine(b: Array[Byte], start: Int,
+      ac: HuffDecoder, ss: Int, se: Int, al: Int, dri: Int,
+      nBlocks: Int, coefs: Array[Short]): Boolean = {
+    if (ac == null) return false
+    val r = new BitReader(b, start)
+    val p1 = 1 << al
+    var eobrun = 0
+    var blk = 0
+    var rst = 0
+    while (blk < nBlocks) {
+      if (dri > 0 && blk > 0 && blk % dri == 0) {
+        if (!r.expectRestart(rst & 7)) return false
+        rst += 1
+        eobrun = 0
+      }
+      val base = blk * 64
+      var k = ss
+      if (eobrun == 0) {
+        var brk = false
+        while (!brk && k <= se) {
+          val rs = ac.decode(r)
+          if (r.bad) return false
+          var run = rs >> 4
+          val size = rs & 15
+          var newVal = 0
+          if (size == 0) {
+            if (run != 15) { // EOBn; correction bits below, then skip
+              eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+              if (r.bad) return false
+              brk = true
+            }
+            // run == 15 (ZRL): pass 16 zero-history coefficients
+          } else {
+            if (size != 1) return false // refinement sends 1-bit sizes
+            newVal = if (r.bit() == 1) p1 else -p1
+            if (r.bad) return false
+          }
+          if (!brk) {
+            // advance over `run` zero-history coefficients, appending
+            // correction bits to nonzero ones passed on the way
+            var placed = false
+            while (!placed && k <= se) {
+              val ce = base + Zigzag(k)
+              if (coefs(ce) != 0) {
+                val bit = r.bit()
+                if (r.bad) return false
+                if (bit == 1 && (coefs(ce) & p1) == 0)
+                  coefs(ce) = (coefs(ce) +
+                    (if (coefs(ce) >= 0) p1 else -p1)).toShort
+              } else {
+                if (run == 0) {
+                  if (newVal != 0) coefs(ce) = newVal.toShort
+                  placed = true
+                } else run -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // band overrun
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: remaining nonzero history still gets bits
+        while (k <= se) {
+          val ce = base + Zigzag(k)
+          if (coefs(ce) != 0) {
+            val bit = r.bit()
+            if (r.bad) return false
+            if (bit == 1 && (coefs(ce) & p1) == 0)
+              coefs(ce) = (coefs(ce) +
+                (if (coefs(ce) >= 0) p1 else -p1)).toShort
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      blk += 1
+    }
+    !r.bad
+  }
+
+  /** EOI of a progressive stream: dequantize the accumulated luma
+    * coefficients and IDCT block-wise into the final plane.
+    */
+  private def finishProg(w: Int, h: Int, lumaBW: Int, lumaBH: Int,
+      coefs: Array[Short], q: Array[Int])
+      : Option[(Int, Int, Array[Byte])] = {
+    val out = new Array[Byte](w * h)
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var by = 0
+    while (by < lumaBH) {
+      var bx = 0
+      while (bx < lumaBW) {
+        val base = (by * lumaBW + bx) * 64
+        var k = 0
+        while (k < 64) { coef(k) = coefs(base + k) * q(k); k += 1 }
+        idct(coef, px)
+        val x0 = bx * 8
+        val y0 = by * 8
+        val xm = math.min(8, w - x0)
+        val ym = math.min(8, h - y0)
+        var yy = 0
+        while (yy < ym) {
+          val row = (y0 + yy) * w + x0
+          var xx = 0
+          while (xx < xm) { out(row + xx) = px(yy * 8 + xx).toByte; xx += 1 }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, out))
   }
 
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
@@ -717,6 +1107,203 @@ object Jpeg {
   @inline private def magnitudeCat(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** fixture-only progressive AC table: Annex K's baseline AC table has
+    * no EOBn symbols (progressive encoders ship custom tables), so the
+    * progressive fixture encoder uses this flat canonical table — every
+    * needed symbol at 8 bits: EOBn r=0..14, ZRL, and sizes 1..10 at
+    * runs 0..15 (176 symbols; the all-ones code stays unused, per C.2).
+    */
+  private val ProgAcVals: Array[Int] =
+    ((0 to 14).map(r => r << 4) ++ Seq(0xF0) ++
+      (for { run <- 0 to 15; s <- 1 to 10 } yield (run << 4) | s)).toArray
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** spec-conformant PROGRESSIVE grayscale encoder (fixture synthesis
+    * only): same headers as encodeGray but SOF2, followed by the scan
+    * script DC-first(Al=1) -> DC-refine -> AC 1..63 first(Al=acAl)
+    * [-> AC refinements down to Al=0]. With acAl > 0 the refinement
+    * scans are emitted only for all-zero-AC content (the flat fixture
+    * family — they reduce to pure EOB runs); general content must use
+    * acAl = 0, where one first scan carries full precision.
+    */
+  def encodeGrayProg(w: Int, h: Int, pix: (Int, Int) => Int,
+      quant: Array[Int], acAl: Int = 0, dri: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, "encodeGrayProg: empty image")
+    val out = new java.io.ByteArrayOutputStream()
+    def b2(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xFF))
+    def be16o(v: Int): Unit = b2(v >>> 8, v)
+    b2(0xFF, 0xD8) // SOI
+    b2(0xFF, 0xE0); be16o(16) // APP0 JFIF
+    "JFIF".foreach(c => out.write(c.toInt)); b2(0, 1, 1, 0)
+    be16o(1); be16o(1); b2(0, 0)
+    b2(0xFF, 0xDB); be16o(67); b2(0) // DQT (zigzag on the wire)
+    var k = 0
+    while (k < 64) { out.write(quant(Zigzag(k)) & 0xFF); k += 1 }
+    b2(0xFF, 0xC2); be16o(11); b2(8) // SOF2
+    be16o(h); be16o(w); b2(1, 1, 0x11, 0)
+    def dht(tcth: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      b2(0xFF, 0xC4); be16o(2 + 1 + 16 + vals.length); b2(tcth)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0x00, DcLumaBits, DcLumaVals)
+    dht(0x10, ProgAcBits, ProgAcVals)
+    if (dri > 0) { b2(0xFF, 0xDD); be16o(4); be16o(dri) }
+    // quantized coefficients of every block, computed once up front
+    val bxs = (w + 7) / 8
+    val bys = (h + 7) / 8
+    val nB = bxs * bys
+    val allCoef = new Array[Int](nB * 64)
+    locally {
+      val block = new Array[Int](64)
+      val coef = new Array[Int](64)
+      var blk = 0
+      var by = 0
+      while (by < bys) {
+        var bx = 0
+        while (bx < bxs) {
+          var yy = 0
+          while (yy < 8) {
+            val sy = math.min(by * 8 + yy, h - 1)
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(bx * 8 + xx, w - 1)
+              block(yy * 8 + xx) = pix(sx, sy) & 0xFF
+              xx += 1
+            }
+            yy += 1
+          }
+          fdctQuant(block, quant, coef)
+          System.arraycopy(coef, 0, allCoef, blk * 64, 64)
+          blk += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    val dcEnc = new HuffEncoder(DcLumaBits, DcLumaVals)
+    val acEnc = new HuffEncoder(ProgAcBits, ProgAcVals)
+    def sos(ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
+      b2(0xFF, 0xDA); be16o(8); b2(1, 1, 0x00, ssV, seV, (ahV << 4) | alV)
+    }
+    // scan 1: DC first, point transform >> 1
+    sos(0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      var pred = 0
+      var rst = 0
+      var i = 0
+      while (i < nB) {
+        if (dri > 0 && i > 0 && i % dri == 0) {
+          bw.flush(); b2(0xFF, 0xD0 + (rst & 7)); rst += 1; pred = 0
+        }
+        val v = allCoef(i * 64) >> 1 // arithmetic shift per G.1.2.1
+        val diff = v - pred
+        pred = v
+        val s = magnitudeCat(diff)
+        bw.put(dcEnc.codes(s), dcEnc.sizes(s))
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        i += 1
+      }
+      bw.flush()
+    }
+    // scan 2: DC refinement, the dropped low bit
+    sos(0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var rst = 0
+      var i = 0
+      while (i < nB) {
+        if (dri > 0 && i > 0 && i % dri == 0) {
+          bw.flush(); b2(0xFF, 0xD0 + (rst & 7)); rst += 1
+        }
+        bw.put(allCoef(i * 64) & 1, 1)
+        i += 1
+      }
+      bw.flush()
+    }
+    // scan 3: AC first over the whole band at precision acAl
+    sos(1, 63, 0, acAl)
+    locally {
+      val bw = new BitWriter(out)
+      var eob = 0
+      def flushEob(): Unit = if (eob > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eob)
+        bw.put(acEnc.codes(r << 4), acEnc.sizes(r << 4))
+        if (r > 0) bw.put(eob - (1 << r), r)
+        eob = 0
+      }
+      var rst = 0
+      var i = 0
+      while (i < nB) {
+        if (dri > 0 && i > 0 && i % dri == 0) {
+          flushEob(); bw.flush(); b2(0xFF, 0xD0 + (rst & 7)); rst += 1
+        }
+        var run = 0
+        var wrote = false
+        var k2 = 1
+        while (k2 < 64) {
+          val v0 = allCoef(i * 64 + Zigzag(k2))
+          val t = if (v0 >= 0) v0 >> acAl else -((-v0) >> acAl)
+          if (t == 0) run += 1
+          else {
+            flushEob() // the EOB run of preceding blocks ends here
+            while (run >= 16) {
+              bw.put(acEnc.codes(0xF0), acEnc.sizes(0xF0)); run -= 16
+            }
+            val sz = magnitudeCat(t)
+            require(sz <= 10 && run <= 15,
+              "encodeGrayProg: coefficient outside the fixture table")
+            bw.put(acEnc.codes((run << 4) | sz), acEnc.sizes((run << 4) | sz))
+            bw.put(if (t < 0) t + (1 << sz) - 1 else t, sz)
+            run = 0
+            wrote = true
+          }
+          k2 += 1
+        }
+        if (run > 0 || !wrote) { eob += 1; if (eob == 32767) flushEob() }
+        i += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+    // refinement scans (flat family only: pure EOB runs, no bits)
+    var a = acAl
+    while (a > 0) {
+      sos(1, 63, a, a - 1)
+      val bw = new BitWriter(out)
+      var eob = 0
+      def flushEob(): Unit = if (eob > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eob)
+        bw.put(acEnc.codes(r << 4), acEnc.sizes(r << 4))
+        if (r > 0) bw.put(eob - (1 << r), r)
+        eob = 0
+      }
+      var rst = 0
+      var i = 0
+      while (i < nB) {
+        if (dri > 0 && i > 0 && i % dri == 0) {
+          flushEob(); bw.flush(); b2(0xFF, 0xD0 + (rst & 7)); rst += 1
+        }
+        var k2 = 1
+        while (k2 < 64) {
+          require(allCoef(i * 64 + Zigzag(k2)) == 0,
+            "encodeGrayProg: acAl > 0 supports only all-zero-AC content")
+          k2 += 1
+        }
+        eob += 1
+        if (eob == 32767) flushEob()
+        i += 1
+      }
+      flushEob()
+      bw.flush()
+      a -= 1
+    }
+    b2(0xFF, 0xD9) // EOI
+    out.toByteArray
+  }
+
   // ---- deterministic fixture synthesis (tests/oracles) ----------------
 
   def synthJpegDims(id: Long): (Int, Int) =
@@ -740,6 +1327,21 @@ object Jpeg {
     val (w, h) = synthJpegDims(id)
     encodeGray(w, h, (x, y) => tileLuma(id, x / 8, y / 8),
       Array.fill(64)(8), dri = if (id % 3 == 0) 2 else 0)
+  }
+
+  /** progressive (SOF2) twin of synthJpegContent: the same flat tiles
+    * and quant-8 losslessness, coded across multiple scans — DC
+    * successive approximation (Al=1 then the refinement bit), the AC
+    * band as EOBn runs, and for odd ids an extra AC approximation pair
+    * exercising the refinement EOB-run path; every 3rd id restarts
+    * (DRI=2). Decodes bit-identically to the baseline twin, so
+    * t_media_jpeg_prog shares the formula oracle.
+    */
+  def synthJpegProgContent(id: Long): Array[Byte] = {
+    val (w, h) = synthJpegDims(id)
+    encodeGrayProg(w, h, (x, y) => tileLuma(id, x / 8, y / 8),
+      Array.fill(64)(8), acAl = if (id % 2 == 1) 1 else 0,
+      dri = if (id % 3 == 0) 2 else 0)
   }
 
   /** the same flat pixels as an uncompressed 24-bit BMP (r=g=b=g, so

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    `decodeBmpContent`/`decodeWavContent`) — integer 8-band
   *    embeddings + FNV-1a content hashes; MEDIA-4 decodes compressed
   *    PNG for real (JDK Inflater), MEDIA-5 decodes GIF for real
-  *    (hand-rolled spec LZW), and MEDIA-6 decodes baseline JPEG for
-  *    real (spec Huffman + frozen IDCT, see ops.Jpeg) — out-of-scope
-  *    JPEG flavors (progressive/arithmetic/12-bit) stub-fallback;
+  *    (hand-rolled spec LZW), and MEDIA-6/7 decode baseline AND
+  *    progressive JPEG for real (spec Huffman + frozen IDCT, see
+  *    ops.Jpeg) — out-of-scope JPEG flavors (arithmetic/12-bit/
+  *    lossless) stub-fallback;
   *  - stills (png/bmp/jpeg) report n_frames = 1; GIF reports its image-
   *    descriptor count from the block walk (animated GIFs get real
   *    frame counts, min 1); WAV reports data-chunk sample frames
@@ -368,7 +369,7 @@ object Multimodal {
           case "wav" => decodeWavContent(m.payload)
           case "png" => decodePngContent(m.payload) // MEDIA-4 (DEFLATE)
           case "gif" => decodeGifContent(m.payload) // MEDIA-5 (LZW)
-          case "jpeg" => Jpeg.decodeContent(m.payload) // MEDIA-6 (DCT)
+          case "jpeg" => Jpeg.decodeContent(m.payload) // MEDIA-6/7 (DCT)
           case _     => None
         }).getOrElse((stub._4, stub._5))
         MediaFeatures(m.media_id, m.kind, fmt, m.payload.length.toLong,

@@ -119,8 +119,13 @@ object Versions {
     * blocks, StrictMath-kernel double path otherwise; 1- or
     * 3-component with full-res component 0, single interleaved scan;
     * content = the LUMA plane under the shared hash/band contract).
-    * Progressive/arithmetic/12-bit/hierarchical JPEG stub-fallback;
-    * prior formats unchanged.
+    * v7 (MEDIA-7): progressive JPEG (SOF2, T.81 Annex G) — per-block
+    * luma coefficient store across scans, DC/AC first + refinement
+    * with EOB-run semantics, chroma-only scans skipped wholesale,
+    * dequant + IDCT at EOI; same luma contract and the same flat-tile
+    * lossless-fixture argument (identical coefficients, different
+    * scan script). Arithmetic/lossless/12-bit/hierarchical JPEG
+    * stub-fallback; prior formats unchanged.
     */
-  val MediaVersion = "v6"
+  val MediaVersion = "v7"
 }

@@ -166,7 +166,9 @@ class JpegSpec extends AnyFunSuite {
       else
         assert(got == full, s"EOI-only cut at $n changed the result")
     }
-    // progressive SOF2 rejected
+    // flipping SOF0 -> SOF2 leaves a baseline-shaped SOS (Ss=0,Se=63)
+    // that is INVALID for a progressive frame — must fail closed, not
+    // misread the sequential scan as progressive
     val prog = good.clone()
     val sofAt = {
       var i = 2
@@ -175,7 +177,8 @@ class JpegSpec extends AnyFunSuite {
       i
     }
     prog(sofAt + 1) = 0xC2.toByte
-    assert(Jpeg.decodeContent(prog).isEmpty, "SOF2 accepted")
+    assert(Jpeg.decodeContent(prog).isEmpty,
+      "SOF2 frame with a sequential scan header accepted")
     // flipped bits anywhere must not throw (may or may not decode)
     for (i <- 2 until good.length) {
       val mut = good.clone()
@@ -197,6 +200,123 @@ class JpegSpec extends AnyFunSuite {
         Jpeg.encodeGray(w, h, pix, Array.fill(64)(8), dri = 1))
       assert(plain.isDefined && rst.isDefined, s"id=$id")
       assert(plain.get._3.toSeq == rst.get._3.toSeq, s"id=$id")
+    }
+  }
+
+  test("MEDIA-7: progressive flat fixtures decode bit-exactly") {
+    // covers both script variants (plain AC first scan / AC successive
+    // approximation with a refinement EOB-run scan) and DRI restarts
+    for (id <- 0L until 200L) {
+      val (w, h, exp) = expectedLuma(id)
+      val got = Jpeg.decodeLuma(Jpeg.synthJpegProgContent(id))
+      assert(got.isDefined, s"id=$id undecoded")
+      val (gw, gh, plane) = got.get
+      assert((gw, gh) == (w, h), s"id=$id dims")
+      assert(plane.map(_ & 0xFF).toSeq == exp.toSeq, s"id=$id pixels")
+    }
+  }
+
+  test("MEDIA-7: progressive == baseline on textured (lossy) content") {
+    // with acAl=0 the single AC first scan carries full precision, so
+    // the coefficients — and therefore our IDCT output — must be
+    // IDENTICAL to the baseline encode of the same pixels
+    for (id <- 0L until 60L) {
+      val (w, h) = Jpeg.synthJpegDims(id)
+      val pix = (x: Int, y: Int) =>
+        ((id * 7 + x * 13 + y * 31 + ((x * y) % 17) * 11) % 256).toInt
+      val base = Jpeg.decodeLuma(
+        Jpeg.encodeGray(w, h, pix, Jpeg.StdLumaQuant))
+      val prog = Jpeg.decodeLuma(
+        Jpeg.encodeGrayProg(w, h, pix, Jpeg.StdLumaQuant,
+          dri = if (id % 4 == 0) 3 else 0))
+      assert(base.isDefined && prog.isDefined, s"id=$id")
+      assert(base.get._3.toSeq == prog.get._3.toSeq, s"id=$id pixels")
+    }
+  }
+
+  test("MEDIA-7: decodes the JDK writer's own progressive output") {
+    // ImageIO's progressive mode emits the libjpeg standard scan
+    // script — spectral selection AND successive approximation with
+    // real correction bits on textured data; grayscale first
+    def progressiveBytes(img: java.awt.image.BufferedImage)
+        : Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      writer.dispose()
+      buf.toByteArray
+    }
+    val w = 48
+    val h = 40
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 11 + y * 23 + (x * y) % 29) % 256)
+    val gb = progressiveBytes(gray)
+    // sanity: the writer really emitted SOF2
+    assert((2 until gb.length - 1).exists(i =>
+      gb(i) == 0xFF.toByte && gb(i + 1) == 0xC2.toByte), "writer not progressive")
+    val got = Jpeg.decodeLuma(gb)
+    assert(got.isDefined, "JDK progressive grayscale undecoded")
+    val (gw, gh, plane) = got.get
+    assert((gw, gh) == (w, h))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gb))
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = plane(y * w + x) & 0xFF
+      val theirs = back.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 1, s"($x,$y): $ours vs $theirs")
+    }
+    // 3-component progressive: near-gray gradient, luma recovered
+    // from ImageIO's RGB (the baseline 4:2:0 test's protocol)
+    val rgb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 3 + y * 2
+      rgb.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val cb = progressiveBytes(rgb)
+    val got3 = Jpeg.decodeLuma(cb)
+    assert(got3.isDefined, "JDK progressive color undecoded")
+    val (cw, ch, cplane) = got3.get
+    assert((cw, ch) == (w, h))
+    val back3 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cb))
+    var maxAbs = 0
+    var sumAbs = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = back3.getRGB(x, y)
+      val yy = Math.round(0.299 * ((px >> 16) & 0xFF) +
+        0.587 * ((px >> 8) & 0xFF) + 0.114 * (px & 0xFF)).toInt
+      val d = math.abs((cplane(y * w + x) & 0xFF) - yy)
+      maxAbs = math.max(maxAbs, d)
+      sumAbs += d
+    }
+    assert(maxAbs <= 3, s"max |diff| $maxAbs")
+    assert(sumAbs.toDouble / (w * h) <= 1.0,
+      s"mean |diff| ${sumAbs.toDouble / (w * h)}")
+  }
+
+  test("MEDIA-7: hostile/truncated progressive streams never throw") {
+    val good = Jpeg.synthJpegProgContent(9) // odd id: refinement scans
+    val full = Jpeg.decodeContent(good)
+    assert(full.isDefined)
+    // progressive decode REQUIRES the EOI (that is when the plane is
+    // assembled) — every truncation must fail closed
+    for (n <- 0 until good.length) {
+      val cut = java.util.Arrays.copyOf(good, n)
+      assert(Jpeg.decodeContent(cut).isEmpty, s"truncated at $n decoded")
+    }
+    for (i <- 2 until good.length) {
+      val mut = good.clone()
+      mut(i) = (mut(i) ^ 0x41).toByte
+      Jpeg.decodeContent(mut) // no exception = pass
     }
   }
 
