@@ -759,6 +759,28 @@ object SparkEntry {
         ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
     },
 
+    // MEDIA-7: progressive JPEG. The same flat-tile pixels as SOF2
+    // multi-scan files (DC successive approximation, EOBn AC runs,
+    // refinement scans on odd ids, restarts on every 3rd) — Spark must
+    // accumulate coefficients across scans and IDCT at EOI to land the
+    // identical hash + bands; the oracle is the SAME formula SQL as
+    // t_media_jpeg because a conformant progressive coding carries the
+    // same coefficients, scan script notwithstanding.
+    "t_media_jpeg_prog" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id")
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .map { id =>
+          graft.ops.Multimodal.MediaRow(id, "binary",
+            graft.ops.Jpeg.synthJpegProgContent(id))
+        }
+      val feats = graft.ops.Multimodal.extractFeatures(s, media).toDF()
+      val embCols = (0 until 8).map(d =>
+        element_at($"embedding", d + 1).cast("long").as(s"e$d"))
+      feats.select(
+        ($"media_id" +: $"format" +: $"content_hash" +: embCols): _*)
+    },
+
     // cross-format identity, fourth container: the flat pixels as an
     // uncompressed BMP vs as a DCT-compressed JPEG — joining on the
     // decoded content hash must recover exactly the planted pairs
@@ -1351,6 +1373,15 @@ object SparkEntry {
     "t_chunk" -> { (s, dir) =>
       import s.implicits._
       graft.ops.Retrieval.chunk(
+        s, docs(s, dir).select($"doc_id", $"text"))
+    },
+
+    // sequence packing: concat-and-chunk context assembly over 16
+    // deterministic md5-bucketed packing streams — per-doc stream
+    // offset and the context windows each doc lands in
+    "t_pack" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Retrieval.pack(
         s, docs(s, dir).select($"doc_id", $"text"))
     },
 
@@ -2180,6 +2211,10 @@ object SparkEntry {
     // there through markers, Huffman, dequant and the IDCT
     "t_media_jpeg" -> jpegContentOracleSql,
 
+    // MEDIA-7: identical formulas — the progressive scan script must
+    // reconstruct the same coefficients the baseline file carries
+    "t_media_jpeg_prog" -> jpegContentOracleSql,
+
     // the planted BMP/JPEG pairing IS the expectation: a DCT container
     // of the same pixels must land the identical content hash
     "t_media_jpeg_cross" ->
@@ -2590,6 +2625,25 @@ object SparkEntry {
         "SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens, " +
         "md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_hash " +
         "FROM ch"),
+
+    // the md5 stream assignment and prefix sum recomputed: window
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back before the integer
+    // divisions so chunk indices match Spark's longs
+    "t_pack" ->
+      ("WITH t AS (SELECT doc_id, len(list_filter(string_split(text, " +
+        "' '), x -> x <> ''))::BIGINT AS n_tokens, " +
+        "md5(doc_id::VARCHAR) AS ord, " +
+        "substr(md5(doc_id::VARCHAR), 1, 1) AS bucket FROM documents), " +
+        "c AS (SELECT doc_id, bucket, n_tokens, " +
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket " +
+        "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0)::BIGINT AS tok_start " +
+        "FROM t WHERE n_tokens >= 1) " +
+        "SELECT doc_id, bucket, n_tokens, tok_start, " +
+        "tok_start // 128 AS chunk_first, " +
+        "(tok_start + n_tokens - 1) // 128 AS chunk_last, " +
+        "((tok_start + n_tokens - 1) // 128) - (tok_start // 128) + 1 " +
+        "AS chunk_n FROM c"),
 
     // the three chains recomposed in one statement: decon grams over
     // the SKEWED corpus, budgets over the survivors, LM trained on the

@@ -221,6 +221,50 @@ object Retrieval {
         md5(array_join($"chunk", " ")).as("chunk_hash"))
   }
 
+  /** Sequence packing — the context-assembly step of LM training prep
+    * (concat-and-chunk, the GPT-3 convention: documents are
+    * concatenated into a token stream and cut every `contextLen`
+    * tokens, documents spanning context boundaries; Brown et al. 2020
+    * §2.2). One global stream cannot parallelize, so the corpus splits
+    * into 16 independent packing streams by a deterministic md5 bucket
+    * of doc_id, each stream ordered by (md5, doc_id) — an unbiased
+    * deterministic shuffle — and packed by a running token prefix sum.
+    *
+    * Returns one row per document: (doc_id, bucket, n_tokens,
+    * tok_start, chunk_first, chunk_last, chunk_n) — the document's
+    * offset in its stream and the context windows it lands in.
+    * Empty documents (0 tokens) are dropped, as in chunk().
+    *
+    * Scale shape: ONE shuffle (the per-bucket window sort), and the
+    * window carries (doc_id, n_tokens, ord) — never text. The stream
+    * count is the parallelism knob: one md5 hex char (16) keeps the
+    * oracle tiny; production uses O(cluster cores) streams. Cut
+    * positions change with the stream count BY DESIGN — packing is an
+    * assignment, and any deterministic assignment is valid training
+    * input.
+    */
+  def pack(spark: SparkSession, corpus: DataFrame,
+      contextLen: Int = 128): DataFrame = {
+    import spark.implicits._
+    val base = corpus
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(toks($"text")).cast("long")
+          .as("n_tokens"),
+        md5($"doc_id".cast("string")).as("ord"))
+      .filter($"n_tokens" >= 1)
+      .withColumn("bucket", substring($"ord", 1, 1))
+    val w = Window.partitionBy($"bucket").orderBy($"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .select($"doc_id", $"bucket", $"n_tokens",
+        coalesce(sum($"n_tokens").over(w), lit(0L)).as("tok_start"))
+      .select($"doc_id", $"bucket", $"n_tokens", $"tok_start",
+        expr(s"tok_start div $contextLen").as("chunk_first"),
+        expr(s"(tok_start + n_tokens - 1) div $contextLen")
+          .as("chunk_last"))
+      .withColumn("chunk_n", $"chunk_last" - $"chunk_first" + 1L)
+  }
+
   /** Bigram-LM quality score (CCNet-style, self-trained): train
     * add-one-smoothed bigram probabilities on the corpus itself, then
     * score each document by its mean negative log probability — high

@@ -105,6 +105,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert((0 until 80).forall(covered))
   }
 
+  test("pack: per-stream prefix sums and context-window spans") {
+    import spark.implicits._
+    val corpus = (1L to 40L)
+      .map(id => (id, Seq.fill((id % 7).toInt * 30)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Retrieval.pack(spark, corpus, contextLen = 100)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // empty docs (id % 7 == 0) are dropped
+    assert(out.keySet == (1L to 40L).filter(_ % 7 != 0).toSet)
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // recompute every stream by hand: order by (md5, id), prefix-sum
+    val byBucket = out.toSeq
+      .map { case (id, t) => (md5hex(id.toString), id, t) }
+      .groupBy(_._1.take(1))
+    for ((bucket, rows) <- byBucket) {
+      var cum = 0L
+      for ((_, id, t) <- rows.sortBy(r => (r._1, r._2))) {
+        val n = (id % 7) * 30
+        assert(t == ((bucket, n, cum, cum / 100,
+          (cum + n - 1) / 100, (cum + n - 1) / 100 - cum / 100 + 1)),
+          s"id=$id")
+        cum += n
+      }
+    }
+    // a document never spans more contexts than ceil(n/L) + 1
+    assert(out.values.forall { case (_, n, _, _, _, cn) =>
+      cn <= n / 100 + 2 })
+  }
+
   test("lmScore: add-one bigram NLL, hand-computed") {
     import spark.implicits._
     val corpus = Seq(
