@@ -1683,6 +1683,17 @@ object SparkEntry {
         ]""")
     },
 
+    // JSON-assembled packing: the config surface reaches the context-
+    // assembly family too — must equal t_pack's product exactly
+    "x_config_pack" -> { (s, dir) =>
+      import s.implicits._
+      graft.pipe.ConfigPipeline.runOps(s,
+        docs(s, dir).select($"doc_id", $"text"),
+        """[
+          {"step": "pack", "config": {"context_len": 128}}
+        ]""")
+    },
+
     // the DAILY-BATCH composition — the day-2 shape of the flagship
     // curation run (t_corpus_cleanse is day 0 over the full corpus):
     // sign the history into a persisted band index, dedupe the
@@ -1754,6 +1765,39 @@ object SparkEntry {
       val queries = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
       graft.ops.Ann.bruteForceTopK(s, corpus, queries, k = 3)
+    },
+
+    // embedding-space label QA: kNN label purity over a deterministic
+    // probe sample — each probe's 5 nearest neighbors vote (majority,
+    // ties -> smaller label) and per-label agreement counts + id sums
+    // pin exactly which probes agree. Label noise shows up as low
+    // purity (here ~chance: the synthetic labels are independent of
+    // the vectors, and the oracle recomputes exactly that). The probe
+    // sample keeps the brute-force broadcast bounded; the scale path
+    // is the LSH/IVF siblings feeding the same vote.
+    "t_knn_label" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+      val probes = emb.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val nn = graft.ops.Ann.bruteForceTopK(s, corpus, probes, k = 5)
+      val votes = nn
+        .join(emb.select($"vec_id".as("id"), $"label".as("nlabel")),
+          Seq("id"))
+        .groupBy($"qid", $"nlabel").agg(count(lit(1)).as("c"))
+      val pred = votes.groupBy($"qid")
+        .agg(max_by($"nlabel",
+          struct($"c", (-$"nlabel").cast("long"))).as("pred"))
+      pred
+        .join(emb.filter($"vec_id" % 5 === 0)
+          .select($"vec_id".as("qid"), $"label".as("qlabel")), Seq("qid"))
+        .groupBy($"qlabel".as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when($"pred" === $"qlabel", 1L).otherwise(0L))
+            .as("n_agree"),
+          sum(when($"pred" === $"qlabel", $"qid").otherwise(0L))
+            .as("agree_id_sum"))
     },
 
     // corpus = embeddings + 3 colinear twins per query vector; the
@@ -2629,21 +2673,10 @@ object SparkEntry {
     // the md5 stream assignment and prefix sum recomputed: window
     // SUM(BIGINT) is HUGEINT in DuckDB — cast back before the integer
     // divisions so chunk indices match Spark's longs
-    "t_pack" ->
-      ("WITH t AS (SELECT doc_id, len(list_filter(string_split(text, " +
-        "' '), x -> x <> ''))::BIGINT AS n_tokens, " +
-        "md5(doc_id::VARCHAR) AS ord, " +
-        "substr(md5(doc_id::VARCHAR), 1, 1) AS bucket FROM documents), " +
-        "c AS (SELECT doc_id, bucket, n_tokens, " +
-        "COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket " +
-        "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "1 PRECEDING), 0)::BIGINT AS tok_start " +
-        "FROM t WHERE n_tokens >= 1) " +
-        "SELECT doc_id, bucket, n_tokens, tok_start, " +
-        "tok_start // 128 AS chunk_first, " +
-        "(tok_start + n_tokens - 1) // 128 AS chunk_last, " +
-        "((tok_start + n_tokens - 1) // 128) - (tok_start // 128) + 1 " +
-        "AS chunk_n FROM c"),
+    "t_pack" -> packOracleSql,
+
+    // the JSON assembly must land the identical packing
+    "x_config_pack" -> packOracleSql,
 
     // the three chains recomposed in one statement: decon grams over
     // the SKEWED corpus, budgets over the survivors, LM trained on the
@@ -2973,6 +3006,29 @@ object SparkEntry {
         "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
         "FROM scored) WHERE rank <= 3"),
 
+    // the exact kNN, majority vote and per-label rollup recomputed;
+    // ties break (count desc, label asc) on both sides
+    "t_knn_label" ->
+      ("WITH p AS (SELECT vec_id AS qid, embedding AS qvec, " +
+        "label AS qlabel FROM embeddings WHERE vec_id % 5 = 0), " +
+        "s AS (SELECT p.qid, e.vec_id AS id, " +
+        "list_cosine_similarity(p.qvec, e.embedding) AS sim " +
+        "FROM embeddings e, p WHERE e.vec_id <> p.qid), " +
+        "nn AS (SELECT qid, id FROM (SELECT qid, id, row_number() " +
+        "OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank " +
+        "FROM s) WHERE rank <= 5), " +
+        "v AS (SELECT nn.qid, e.label AS nlabel, count(*)::BIGINT AS c " +
+        "FROM nn JOIN embeddings e ON e.vec_id = nn.id GROUP BY 1, 2), " +
+        "pr AS (SELECT qid, nlabel AS pred FROM (SELECT qid, nlabel, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY c DESC, " +
+        "nlabel ASC) AS r FROM v) WHERE r = 1) " +
+        "SELECT p.qlabel AS label, count(*)::BIGINT AS n_probes, " +
+        "sum(CASE WHEN pr.pred = p.qlabel THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_agree, " +
+        "sum(CASE WHEN pr.pred = p.qlabel THEN p.qid ELSE 0 END)" +
+        "::BIGINT AS agree_id_sum " +
+        "FROM pr JOIN p USING (qid) GROUP BY 1"),
+
     "t_quality" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "round(len(list_filter(string_split(text, ' '), " +
@@ -3210,6 +3266,22 @@ object SparkEntry {
     lumaFormulaOracleSql("png")
   private lazy val gifContentOracleSql: String =
     lumaFormulaOracleSql("gif")
+
+  private lazy val packOracleSql: String =
+    "WITH t AS (SELECT doc_id, len(list_filter(string_split(text, " +
+      "' '), x -> x <> ''))::BIGINT AS n_tokens, " +
+      "md5(doc_id::VARCHAR) AS ord, " +
+      "substr(md5(doc_id::VARCHAR), 1, 1) AS bucket FROM documents), " +
+      "c AS (SELECT doc_id, bucket, n_tokens, " +
+      "COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket " +
+      "ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "1 PRECEDING), 0)::BIGINT AS tok_start " +
+      "FROM t WHERE n_tokens >= 1) " +
+      "SELECT doc_id, bucket, n_tokens, tok_start, " +
+      "tok_start // 128 AS chunk_first, " +
+      "(tok_start + n_tokens - 1) // 128 AS chunk_last, " +
+      "((tok_start + n_tokens - 1) // 128) - (tok_start // 128) + 1 " +
+      "AS chunk_n FROM c"
 
   /** MEDIA-6 oracle: luma of pixel i is the flat-tile formula
     * Jpeg.tileLuma(id, (i%w)//8, (i//w)//8) — exact because quant-8

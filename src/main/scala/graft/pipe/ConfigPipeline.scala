@@ -283,6 +283,25 @@ object ConfigPipeline {
           df.join(scores, Seq(idCol), "left")
         }
       },
+      // context-length chunking (the t_chunk operator as a step)
+      "chunk" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val size = num(cfg, "size", 32).toInt
+        val stride = num(cfg, "stride", 24).toInt
+        df => graft.ops.Retrieval.chunk(s,
+          df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text")), size, stride)
+      },
+      // sequence packing (the t_pack operator as a step)
+      "pack" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val ctx = num(cfg, "context_len", 128).toInt
+        df => graft.ops.Retrieval.pack(s,
+          df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text")), ctx)
+      },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>
         val group = strs(cfg, "group").map(col)
