@@ -1779,9 +1779,9 @@ object SparkEntry {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
       val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
-      val probes = emb.filter($"vec_id" % 5 === 0)
+      val probes = emb.filter($"vec_id" % 25 === 0)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      val nn = graft.ops.Ann.bruteForceTopK(s, corpus, probes, k = 5)
+      val nn = graft.ops.Ann.knnTopK(s, corpus, probes, k = 5)
       val votes = nn
         .join(emb.select($"vec_id".as("id"), $"label".as("nlabel")),
           Seq("id"))
@@ -1790,7 +1790,7 @@ object SparkEntry {
         .agg(max_by($"nlabel",
           struct($"c", (-$"nlabel").cast("long"))).as("pred"))
       pred
-        .join(emb.filter($"vec_id" % 5 === 0)
+        .join(emb.filter($"vec_id" % 25 === 0)
           .select($"vec_id".as("qid"), $"label".as("qlabel")), Seq("qid"))
         .groupBy($"qlabel".as("label"))
         .agg(count(lit(1)).as("n_probes"),
@@ -3010,7 +3010,7 @@ object SparkEntry {
     // ties break (count desc, label asc) on both sides
     "t_knn_label" ->
       ("WITH p AS (SELECT vec_id AS qid, embedding AS qvec, " +
-        "label AS qlabel FROM embeddings WHERE vec_id % 5 = 0), " +
+        "label AS qlabel FROM embeddings WHERE vec_id % 25 = 0), " +
         "s AS (SELECT p.qid, e.vec_id AS id, " +
         "list_cosine_similarity(p.qvec, e.embedding) AS sim " +
         "FROM embeddings e, p WHERE e.vec_id <> p.qid), " +

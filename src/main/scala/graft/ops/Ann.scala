@@ -61,6 +61,35 @@ object Ann {
       .select($"qid", $"rank", $"id")
   }
 
+  /** L2-normalize an array<float/double> column (double output). */
+  def l2normalize(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(vec, x => x.cast("double") / n)
+  }
+
+  /** Exact kNN top-k by cosine via pre-normalized dot products —
+    * rank-identical to bruteForceTopK (cosine(a,b) = dot(a/|a|,b/|b|))
+    * but each PAIR pays one array fold instead of three: the norms are
+    * amortized per row before the cross join. Same slim (qid, id, sim)
+    * projection ahead of the rank window, same (sim desc, id) ties.
+    */
+  def knnTopK(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val c = corpus.select($"id", l2normalize($"vec").as("vec"))
+    val q = queries.select($"qid", l2normalize($"qvec").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"id" =!= $"qid")
+      .select($"qid", $"id",
+        aggregate(zip_with($"qvec", $"vec", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("sim"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"id")
+  }
+
   /** Exact top-1 as an AGGREGATION instead of a rank window: max_by
     * over (sim, -id) gets the same (sim desc, id asc) winner with
     * map-side partial combine — the shuffle carries one row per
