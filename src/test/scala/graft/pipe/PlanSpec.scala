@@ -229,6 +229,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pack's prefix-sum window carries slim rows only (never text)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val corpus = (1L to 200L)
+      .map(id => (id, Seq.fill((id % 9).toInt * 5 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.pack(spark, corpus, contextLen = 50)
+    out.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ allNodes(q.plan)
+      case _ => Seq(p) ++ p.children.flatMap(allNodes)
+    }
+    val windowNodes = allNodes(out.queryExecution.executedPlan).collect {
+      case w: WindowExec => w.output.map(_.name)
+    }
+    assert(windowNodes.nonEmpty)
+    windowNodes.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into the packing window exchange: $cols")
+    }
+  }
+
   test("retrieval joins broadcast the query-sized sides — bm25 " +
     "postings and decontamination bench grams never shuffle-join") {
     val bm = executed(SparkEntryAccess.query("t_bm25")(spark, sf))
