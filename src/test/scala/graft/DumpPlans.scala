@@ -50,6 +50,8 @@ object DumpPlans {
       SparkEntry.queries("t_bm25")(spark, sf))
     dump("t_decontaminate (broadcast bench grams)",
       SparkEntry.queries("t_decontaminate")(spark, sf))
+    dump("t_pack (one bucket exchange, slim window rows)",
+      SparkEntry.queries("t_pack")(spark, sf))
     spark.stop()
   }
 }
