@@ -21,7 +21,8 @@ object Probe19 {
 
   val Heavy = Seq("t_corpus_cleanse", "t_dedup_minhash",
     "t_ngram_jaccard", "t_media_ann_lsh", "t_containment",
-    "t_dedup_conv", "t_decontaminate", "t_bm25", "t_lm_score")
+    "t_dedup_conv", "t_decontaminate", "t_bm25", "t_lm_score",
+    "t_pack")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

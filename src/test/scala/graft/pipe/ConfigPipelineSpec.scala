@@ -235,6 +235,26 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(deconRows == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("runOps: chunk and pack steps equal their direct op calls") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(70)("w").mkString(" ")),
+      (2L, "a b c"), (3L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val chunkCfg = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "chunk", "config": {"size": 16, "stride": 8}}]""")
+    val chunkDirect = graft.ops.Retrieval.chunk(spark, docs, 16, 8)
+    assert(rows(chunkCfg) == rows(chunkDirect) && chunkCfg.count() > 0)
+    val packCfg = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "pack", "config": {"context_len": 20}}]""")
+    val packDirect = graft.ops.Retrieval.pack(spark, docs, 20)
+    assert(rows(packCfg) == rows(packDirect))
+    // the empty doc is dropped, the others packed
+    assert(packCfg.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
