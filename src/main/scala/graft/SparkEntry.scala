@@ -1575,6 +1575,36 @@ object SparkEntry {
         .select($"id", $"is_keeper")
     },
 
+    // LINE-level corpus dedup (C4/RefinedWeb boilerplate rule): docs
+    // reflowed into 8-word lines; every 3rd doc gets a planted
+    // "subscribe" header line, every 5th a copyright footer — lines
+    // recurring in >= 3 distinct docs are removed from ALL docs and
+    // each doc reassembled from its survivors. Whole-doc jaccard never
+    // sees these pairs; the line-frequency rule is what strips the
+    // template mass a crawl is full of. The oracle recomputes the
+    // entire chain (reflow, plants, distinct-doc counts, threshold,
+    // ordered reassembly hash) exactly.
+    "t_dedup_lines" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text")
+        .withColumn("ws", filter(split($"text", " "), w => w =!= ""))
+        .filter(size($"ws") >= 1)
+      val body = transform(
+        sequence(lit(1L), expr("(size(ws) + 7) div 8")),
+        i => array_join(slice($"ws", ((i - lit(1L)) * 8 + 1).cast("int"),
+          lit(8)), " "))
+      val empty = expr("cast(array() as array<string>)")
+      val lines = concat(
+        when($"doc_id" % 3 === 0,
+          array(lit("subscribe to our newsletter today"))).otherwise(empty),
+        body,
+        when($"doc_id" % 5 === 0,
+          array(lit("copyright two thousand all rights reserved")))
+          .otherwise(empty))
+      graft.ops.LineDedup.dedupLines(s,
+        d.select($"doc_id", array_join(lines, "\n").as("text")))
+    },
+
     // SNAPSHOT-INCREMENTAL RESUME under the oracle (the north rule's
     // "resumable from checkpoint" as a driver gate, not just a unit
     // test): the doc-turn corpus staged as 8 conv-partitioned input
@@ -2334,6 +2364,43 @@ object SparkEntry {
         "HAVING src = min(dst)) " +
         "SELECT c.id, c.id IN (SELECT id FROM keep) AS is_keeper " +
         "FROM corpus c"),
+
+    // the full line-dedup chain in SQL: 8-word reflow + planted
+    // header/footer lines, per-line DISTINCT-doc counts, >= 3
+    // threshold, ordered survivor reassembly hashed — md5('') when a
+    // doc loses every line
+    "t_dedup_lines" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, " +
+        "list_transform(generate_series(1, ((len(ws) + 7) // 8)::INT), " +
+        "i -> array_to_string(ws[(i-1)*8+1 : i*8], ' ')) AS body " +
+        "FROM toks WHERE len(ws) >= 1), " +
+        "d2 AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN " +
+        "['subscribe to our newsletter today'] " +
+        "ELSE []::VARCHAR[] END) || body || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN " +
+        "['copyright two thousand all rights reserved'] " +
+        "ELSE []::VARCHAR[] END) AS lines FROM b), " +
+        "lns AS (SELECT doc_id, i AS pos, lines[i] AS line FROM " +
+        "(SELECT doc_id, lines, " +
+        "unnest(generate_series(1, len(lines))) AS i FROM d2)), " +
+        "freq AS (SELECT line FROM (SELECT line, " +
+        "count(DISTINCT doc_id) AS nd FROM lns GROUP BY 1) " +
+        "WHERE nd >= 3), " +
+        "kept AS (SELECT doc_id, pos, line FROM lns " +
+        "WHERE line NOT IN (SELECT line FROM freq)), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+        "md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_hash " +
+        "FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, count(*) AS n_lines FROM lns " +
+        "GROUP BY 1) " +
+        "SELECT tot.doc_id, tot.n_lines::BIGINT AS n_lines, " +
+        "(tot.n_lines - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
+        "coalesce(ka.kept_hash, md5('')) AS text_hash " +
+        "FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"),
 
     // the resume contract as literals: 4 new files per increment, 0 on
     // replay, 8 manifest files over 2 committed runs, zero row diff

@@ -302,6 +302,17 @@ object ConfigPipeline {
           df.select(col(idCol).cast("long").as("doc_id"),
             col(textCol).as("text")), ctx)
       },
+      // C4/RefinedWeb line-level boilerplate removal: lines recurring
+      // in >= min_docs distinct docs dropped corpus-wide, each doc
+      // reassembled from its survivors (the t_dedup_lines operator)
+      "dedupe_lines" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val minDocs = num(cfg, "min_docs", 3).toInt
+        df => graft.ops.LineDedup.dedupLines(s,
+          df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text")), minDocs)
+      },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>
         val group = strs(cfg, "group").map(col)

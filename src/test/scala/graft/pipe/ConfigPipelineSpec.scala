@@ -255,6 +255,24 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(packCfg.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("runOps: dedupe_lines step equals the direct LineDedup call") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "footer\nkeep one"), (2L, "footer\nkeep two"),
+      (3L, "footer\nkeep three"), (4L, "clean doc")
+    ).toDF("id", "body")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val viaCfg = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "dedupe_lines",
+           "config": {"id": "id", "text": "body", "min_docs": 3}}]""")
+    val direct = graft.ops.LineDedup.dedupLines(spark,
+      docs.select($"id".as("doc_id"), $"body".as("text")), 3)
+    assert(rows(viaCfg) == rows(direct) && viaCfg.count() == 4)
+    // the shared footer was actually removed via the config path
+    assert(viaCfg.filter($"n_removed" === 1).count() == 3)
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
