@@ -1605,6 +1605,28 @@ object SparkEntry {
         d.select($"doc_id", array_join(lines, "\n").as("text")))
     },
 
+    // EXACT-SUBSTRING dedup (Lee et al. 2021 ExactSubstr): any 6-token
+    // window occurring >= 2 times in the corpus (within-doc repeats
+    // count) marks all its occurrences; covered tokens are stripped and
+    // each doc reassembled from survivors. Every 4th doc gets a planted
+    // 12-token passage appended — a verbatim mid-document quote that
+    // whole-doc jaccard and line-aligned dedup both miss. The oracle
+    // recomputes the full chain (plant, window hashes, occurrence
+    // counts, token coverage, ordered survivor md5) exactly.
+    "t_dedup_substr" -> { (s, dir) =>
+      import s.implicits._
+      val phrase = Seq("the", "quick", "brown", "fox", "jumps", "over",
+        "the", "lazy", "dog", "again", "and", "again")
+      val d = docs(s, dir).select($"doc_id", $"text")
+        .withColumn("ws0", filter(split($"text", " "), t => t =!= ""))
+        .filter(size($"ws0") >= 1)
+      val planted = concat($"ws0",
+        when($"doc_id" % 4 === 0, array(phrase.map(lit): _*))
+          .otherwise(expr("cast(array() as array<string>)")))
+      graft.ops.ExactSubstr.dedupSubstrings(s,
+        d.select($"doc_id", array_join(planted, " ").as("text")), w = 6)
+    },
+
     // SNAPSHOT-INCREMENTAL RESUME under the oracle (the north rule's
     // "resumable from checkpoint" as a driver gate, not just a unit
     // test): the doc-turn corpus staged as 8 conv-partitioned input
@@ -2399,6 +2421,46 @@ object SparkEntry {
         "GROUP BY 1) " +
         "SELECT tot.doc_id, tot.n_lines::BIGINT AS n_lines, " +
         "(tot.n_lines - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
+        "coalesce(ka.kept_hash, md5('')) AS text_hash " +
+        "FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"),
+
+    // the full ExactSubstr chain in SQL: 12-token plant on every 4th
+    // doc, 6-token window md5s, total-occurrence >= 2 threshold,
+    // token-level coverage (BETWEEN join), ordered survivor reassembly
+    "t_dedup_substr" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws0 " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, ws0 || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN " +
+        "['the','quick','brown','fox','jumps','over'," +
+        "'the','lazy','dog','again','and','again'] " +
+        "ELSE []::VARCHAR[] END) AS ws " +
+        "FROM toks WHERE len(ws0) >= 1), " +
+        "win AS (SELECT doc_id, i, " +
+        "md5(array_to_string(ws[i : i+5], ' ')) AS h FROM " +
+        "(SELECT doc_id, ws, " +
+        "unnest(generate_series(1, len(ws) - 5)) AS i " +
+        "FROM p WHERE len(ws) >= 6)), " +
+        "dup AS (SELECT h FROM " +
+        "(SELECT h, count(*) AS c FROM win GROUP BY 1) WHERE c >= 2), " +
+        "st AS (SELECT doc_id, i FROM win " +
+        "WHERE h IN (SELECT h FROM dup)), " +
+        "tk AS (SELECT doc_id, j, ws[j] AS tok FROM " +
+        "(SELECT doc_id, ws, " +
+        "unnest(generate_series(1, len(ws))) AS j FROM p)), " +
+        "rm AS (SELECT DISTINCT t.doc_id, t.j FROM tk t " +
+        "JOIN st s ON t.doc_id = s.doc_id " +
+        "AND t.j BETWEEN s.i AND s.i + 5), " +
+        "kept AS (SELECT t.doc_id, t.j, t.tok FROM tk t " +
+        "LEFT JOIN rm r ON t.doc_id = r.doc_id AND t.j = r.j " +
+        "WHERE r.j IS NULL), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+        "md5(string_agg(tok, ' ' ORDER BY j)) AS kept_hash " +
+        "FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM p) " +
+        "SELECT tot.doc_id, tot.n_tokens, " +
+        "(tot.n_tokens - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
         "coalesce(ka.kept_hash, md5('')) AS text_hash " +
         "FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"),
 

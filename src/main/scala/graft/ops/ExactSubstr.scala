@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring corpus deduplication — the "any W-token span that
+  * occurs more than once in the corpus is removed from every document
+  * containing it" rule (Lee et al. 2021, "Deduplicating Training Data
+  * Makes Language Models Better", §4.1: ExactSubstr with a 50-token
+  * threshold). Complements the family's other granularities: whole-doc
+  * (MinHashDedup), conversation (t_dedup_conv), line (LineDedup) —
+  * this one catches verbatim passages embedded mid-document (quoted
+  * boilerplate, licence blocks, syndicated paragraphs) that are
+  * neither whole-doc near-dups nor line-aligned.
+  *
+  * Lee et al. build a corpus-wide suffix array — inherently
+  * single-machine. The Spark-native shape used here is the windowed
+  * fingerprint equivalent: every W-token window is hashed, a window
+  * hash seen >= 2 times anywhere (including twice within one document,
+  * matching the published semantics) marks all its occurrences, and
+  * overlapping marked windows merge naturally because removal is
+  * decided per TOKEN (covered-by-any-marked-window). This removes
+  * exactly the maximal duplicated runs of length >= W; runs shorter
+  * than W are below the threshold by definition.
+  *
+  * Scale shape:
+  *  - the window pass shuffles (hash, doc_id, pos) — 3 narrow columns,
+  *    never window text; the count is map-side combinable.
+  *  - duplicated-window starts per doc collapse to ONE sorted int
+  *    array in a single aggregation; the strip + reassembly is then a
+  *    per-row expression (no window function, no second corpus-wide
+  *    shuffle beyond the doc_id groupBy).
+  *  - like every frequency-then-strip dedup, the corpus lineage is
+  *    executed twice (count pass + strip pass); callers whose upstream
+  *    is expensive (e.g. media decode) should persist the slim
+  *    (doc_id, text) projection first — the Ann.lshTopK lesson.
+  */
+object ExactSubstr {
+
+  /** corpus(doc_id: long, text: string, whitespace-tokenized) ->
+    * (doc_id, n_tokens, n_removed, text_hash) where text_hash is md5
+    * of the surviving tokens rejoined with ' ' in original order
+    * (md5("") when the whole document was duplicated material).
+    */
+  def dedupSubstrings(spark: SparkSession, corpus: DataFrame,
+      w: Int = 50): DataFrame = {
+    require(w >= 2, "window below 2 tokens would remove every token")
+    import spark.implicits._
+    val toks = corpus.select($"doc_id",
+      filter(split($"text", " "), t => t =!= "").as("ws"))
+      .filter(size($"ws") >= 1)
+
+    // one row per W-token window: (doc_id, 1-based start, hash) — the
+    // only corpus-sized shuffle, and it carries hashes, not text
+    val wins = toks.filter(size($"ws") >= w)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(1), size($"ws") - (w - 1)),
+        i => md5(array_join(slice($"ws", i, lit(w)), " "))))
+        .as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).as("i"), $"h")
+
+    // total occurrences >= 2 — within-doc repeats count, per Lee et al.
+    val dup = wins.groupBy($"h")
+      .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"h")
+
+    val starts = wins.join(dup, "h")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list($"i")).as("starts"))
+
+    val s0 = coalesce($"starts", expr("cast(array() as array<int>)"))
+    // token j (0-based) is removed iff covered by any marked window
+    val kept = filter($"ws", (t, j) =>
+      !exists(s0, st => st <= j + 1 && j + 1 <= st + lit(w - 1)))
+
+    toks.join(starts, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        (size($"ws") - size(kept)).cast("long").as("n_removed"),
+        md5(array_join(kept, " ")).as("text_hash"))
+  }
+}

@@ -313,6 +313,17 @@ object ConfigPipeline {
           df.select(col(idCol).cast("long").as("doc_id"),
             col(textCol).as("text")), minDocs)
       },
+      // exact-substring dedup (Lee et al. ExactSubstr): any `window`-
+      // token span occurring >= 2 times corpus-wide is stripped from
+      // every doc (the t_dedup_substr operator)
+      "dedupe_substr" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val w = num(cfg, "window", 50).toInt
+        df => graft.ops.ExactSubstr.dedupSubstrings(s,
+          df.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text")), w)
+      },
       // group-by aggregation with SQL aggregate expressions
       "agg" -> { (_, cfg) =>
         val group = strs(cfg, "group").map(col)

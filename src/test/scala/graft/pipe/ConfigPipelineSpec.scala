@@ -273,6 +273,25 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(viaCfg.filter($"n_removed" === 1).count() == 3)
   }
 
+  test("runOps: dedupe_substr step equals the direct ExactSubstr call") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one two three four five six omega"),
+      (2L, "beta one two three four five six"),
+      (3L, "gamma delta epsilon")
+    ).toDF("id", "body")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val viaCfg = ConfigPipeline.runOps(spark, docs,
+      """[{"step": "dedupe_substr",
+           "config": {"id": "id", "text": "body", "window": 6}}]""")
+    val direct = graft.ops.ExactSubstr.dedupSubstrings(spark,
+      docs.select($"id".as("doc_id"), $"body".as("text")), 6)
+    assert(rows(viaCfg) == rows(direct) && viaCfg.count() == 3)
+    // the shared 6-token span was actually stripped via the config path
+    assert(viaCfg.filter($"n_removed" === 6).count() == 2)
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
