@@ -2425,8 +2425,12 @@ object SparkEntry {
         "FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"),
 
     // the full ExactSubstr chain in SQL: 12-token plant on every 4th
-    // doc, 6-token window md5s, total-occurrence >= 2 threshold,
-    // token-level coverage (BETWEEN join), ordered survivor reassembly
+    // doc, SUBSTR-1 window fingerprints refolded directly per window
+    // (mathematically identical mod p to the Spark side's O(n) rolling
+    // update: char fold base 31, window fold base 1000003, dual primes
+    // 1e9+7 / 998244353, combined h1*2^31+h2 — all within BIGINT),
+    // total-occurrence >= 2 threshold, token-level coverage (BETWEEN
+    // join), ordered survivor reassembly
     "t_dedup_substr" ->
       ("WITH toks AS (SELECT doc_id, " +
         "list_filter(string_split(text, ' '), x -> x <> '') AS ws0 " +
@@ -2437,11 +2441,21 @@ object SparkEntry {
         "'the','lazy','dog','again','and','again'] " +
         "ELSE []::VARCHAR[] END) AS ws " +
         "FROM toks WHERE len(ws0) >= 1), " +
+        "p2 AS (SELECT doc_id, ws, " +
+        "list_transform(ws, t -> list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), " +
+        "(a, c) -> (a * 31 + c) % 1000000007)) AS th1, " +
+        "list_transform(ws, t -> list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), " +
+        "(a, c) -> (a * 31 + c) % 998244353)) AS th2 FROM p), " +
         "win AS (SELECT doc_id, i, " +
-        "md5(array_to_string(ws[i : i+5], ' ')) AS h FROM " +
-        "(SELECT doc_id, ws, " +
+        "list_reduce(list_prepend(0::BIGINT, th1[i : i+5]), " +
+        "(a, t) -> (a * 1000003 + t) % 1000000007) * 2147483648 + " +
+        "list_reduce(list_prepend(0::BIGINT, th2[i : i+5]), " +
+        "(a, t) -> (a * 1000003 + t) % 998244353) AS h FROM " +
+        "(SELECT doc_id, th1, th2, " +
         "unnest(generate_series(1, len(ws) - 5)) AS i " +
-        "FROM p WHERE len(ws) >= 6)), " +
+        "FROM p2 WHERE len(ws) >= 6)), " +
         "dup AS (SELECT h FROM " +
         "(SELECT h, count(*) AS c FROM win GROUP BY 1) WHERE c >= 2), " +
         "st AS (SELECT doc_id, i FROM win " +

@@ -342,6 +342,15 @@ object GraftOpFunctions {
         KmvMergeEstimate(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue)
       }),
+    (FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName,
+        "graft_window_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_window_hashes(tokens, w) takes 2 arguments, " +
+            s"got ${exprs.length}")
+        WindowHashes(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_media_content"),
       new ExpressionInfo(classOf[MediaContent].getName,
         "graft_media_content"),

@@ -24,8 +24,14 @@ import org.apache.spark.sql.functions._
   * than W are below the threshold by definition.
   *
   * Scale shape:
-  *  - the window pass shuffles (hash, doc_id, pos) — 3 narrow columns,
-  *    never window text; the count is map-side combinable.
+  *  - window fingerprints are SUBSTR-1 rolling Karp-Rabin hashes
+  *    (`graft_window_hashes`, O(n) per doc — not O(n*W) bytes of
+  *    window text md5'd; at the paper's W=50 that is a ~50x saving on
+  *    the hot pass) over two 31-bit primes — 62 bits, so a false
+  *    duplicate (which would DELETE innocent text) stays vanishingly
+  *    improbable at corpus scale.
+  *  - the window pass shuffles (hash: long, doc_id, pos) — 3 narrow
+  *    columns, never window text; the count is map-side combinable.
   *  - duplicated-window starts per doc collapse to ONE sorted int
   *    array in a single aggregation; the strip + reassembly is then a
   *    per-row expression (no window function, no second corpus-wide
@@ -51,12 +57,12 @@ object ExactSubstr {
       .filter(size($"ws") >= 1)
 
     // one row per W-token window: (doc_id, 1-based start, hash) — the
-    // only corpus-sized shuffle, and it carries hashes, not text
+    // only corpus-sized shuffle, and it carries 8-byte fingerprints,
+    // not window text
     val wins = toks.filter(size($"ws") >= w)
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(1), size($"ws") - (w - 1)),
-        i => md5(array_join(slice($"ws", i, lit(w)), " "))))
-        .as(Seq("p0", "h")))
+      .select($"doc_id",
+        posexplode(graft.functions.WindowHashes.windowHashes($"ws", w))
+          .as(Seq("p0", "h")))
       .select($"doc_id", ($"p0" + 1).as("i"), $"h")
 
     // total occurrences >= 2 — within-doc repeats count, per Lee et al.
