@@ -1331,6 +1331,52 @@ object SparkEntry {
         s, d.select($"doc_id", $"text"), bench)
     },
 
+    // BLOOM-path decontamination: same 13-gram rule, but the bench set
+    // collapses to a 4 KiB BLOOM-1 blob shipped to every task as a
+    // literal — the corpus side tests each doc's grams INLINE with
+    // zero corpus shuffle (the exact-join version must distinct +
+    // shuffle every (doc, gram) pair). False positives are
+    // deterministic under the frozen hash and the oracle recomputes
+    // the exact set-bit positions, so the gate is exact, not
+    // approximate.
+    "t_bloom_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val bench = d.filter($"doc_id" % 97 === 0)
+        .select(array_join(
+          slice(filter(split($"text", " "), w => w =!= ""), 11, 30),
+          " ").as("text"))
+      graft.ops.Retrieval.decontaminateBloom(
+        s, d.select($"doc_id", $"text"), bench)
+    },
+
+    // BLOOM sketch STORE: per-slice vocabulary blobs (doc_id % 4)
+    // OR-merged answer membership over the union with no rescan —
+    // merge-of-blobs == blob-of-union exactly. Probes: every 50th
+    // doc's first token (present) plus two planted strings (absent
+    // unless the mirrored hash says otherwise).
+    "t_bloom_merge" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val ws = filter(split($"text", " "), w => w =!= "")
+      val slices = d
+        .select(($"doc_id" % 4).as("slice"), explode(ws).as("tok"))
+        .groupBy($"slice")
+        .agg(graft.functions.Bloom.bloomAgg($"tok", 1048576, 7)
+          .as("blob"))
+      val merged = slices
+        .agg(graft.functions.Bloom.bloomMerge($"blob").as("b"))
+        .head.getAs[Array[Byte]](0)
+      val probes = d.filter($"doc_id" % 50 === 0)
+        .select(ws.as("ws")).filter(size($"ws") >= 1)
+        .select(element_at($"ws", 1).as("probe"))
+        .union(s.createDataset(Seq("zzz@absent@1", "zzz@absent@2"))
+          .toDF("probe"))
+        .distinct()
+      probes.select($"probe", graft.functions.Bloom
+        .bloomContains(lit(merged), $"probe", 7).as("hit"))
+    },
+
     // BM25 top-k retrieval over an inverted index: every 101st doc's
     // first-4-token set is a query; scores are scaled-long encoded so
     // the oracle's sums match bit for bit
@@ -2793,6 +2839,8 @@ object SparkEntry {
       containmentOracleSql("a.id < 2000000 AND b.id >= 2000000"),
 
     "t_decontaminate" -> decontaminateOracleSql,
+    "t_bloom_decontaminate" -> bloomDecontaminateOracleSql,
+    "t_bloom_merge" -> bloomMergeOracleSql,
 
     // 1 chunk when n <= 32, else 1 + ceil((n-32)/24) — pure integer
     // arithmetic; DuckDB list slice ws[a:b] is 1-based inclusive ==
@@ -3353,6 +3401,66 @@ object SparkEntry {
       "AS i FROM toks WHERE len(ws) >= 13)) " +
       "SELECT doc_id, count(*)::BIGINT AS n_shared FROM cg " +
       "WHERE g IN (SELECT g FROM bench) GROUP BY 1"
+
+  /** BLOOM-1 char fold of SQL expression `e` mod `p` (matches
+    * `BloomOps.fold` code point by code point).
+    */
+  private def bloomFoldSql(e: String, p: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), " +
+      s"(a, c) -> (a * 31 + c) % $p)"
+
+  /** BLOOM-1 oracle: the bloom's set-bit positions are recomputed
+    * exactly (h1 + i*(2*h2+1) mod m over the reference set), so a
+    * value is "contained" iff all k=7 of its probe positions are in
+    * that set — bit-identical to the Spark blob, false positives
+    * included.
+    */
+  private lazy val bloomDecontaminateOracleSql: String =
+    "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> x <> '') AS ws FROM documents), " +
+      "bw AS (SELECT ws[11:40] AS bw FROM toks WHERE doc_id % 97 = 0), " +
+      "bench AS (SELECT DISTINCT " +
+      "list_aggregate(bw[i:i+12], 'string_agg', ' ') AS g " +
+      "FROM (SELECT bw, unnest(generate_series(1, len(bw) - 12)) AS i " +
+      "FROM bw WHERE len(bw) >= 13)), " +
+      s"bh AS (SELECT g, ${bloomFoldSql("g", 1000000007L)} AS h1, " +
+      s"${bloomFoldSql("g", 998244353L)} AS h2 FROM bench), " +
+      "bp AS (SELECT DISTINCT (h1 + i * (2*h2 + 1)) % 32768 AS p FROM " +
+      "(SELECT h1, h2, unnest(generate_series(0, 6)) AS i FROM bh)), " +
+      "cg AS (SELECT DISTINCT doc_id, " +
+      "list_aggregate(ws[i:i+12], 'string_agg', ' ') AS g " +
+      "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) " +
+      "AS i FROM toks WHERE len(ws) >= 13)), " +
+      s"ch AS (SELECT doc_id, g, ${bloomFoldSql("g", 1000000007L)} AS " +
+      s"h1, ${bloomFoldSql("g", 998244353L)} AS h2 FROM cg), " +
+      "cp AS (SELECT doc_id, g, (h1 + i * (2*h2 + 1)) % 32768 AS p " +
+      "FROM (SELECT doc_id, g, h1, h2, " +
+      "unnest(generate_series(0, 6)) AS i FROM ch)), " +
+      "hit AS (SELECT doc_id, g FROM cp JOIN bp ON cp.p = bp.p " +
+      "GROUP BY doc_id, g HAVING count(*) = 7) " +
+      "SELECT doc_id, count(*)::BIGINT AS n_shared FROM hit GROUP BY 1"
+
+  private lazy val bloomMergeOracleSql: String =
+    "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> x <> '') AS ws FROM documents), " +
+      "tk AS (SELECT DISTINCT tok FROM " +
+      "(SELECT unnest(ws) AS tok FROM toks)), " +
+      s"th AS (SELECT tok, ${bloomFoldSql("tok", 1000000007L)} AS h1, " +
+      s"${bloomFoldSql("tok", 998244353L)} AS h2 FROM tk), " +
+      "up AS (SELECT DISTINCT (h1 + i * (2*h2 + 1)) % 1048576 AS p " +
+      "FROM (SELECT h1, h2, unnest(generate_series(0, 6)) AS i " +
+      "FROM th)), " +
+      "pr AS (SELECT ws[1] AS probe FROM toks " +
+      "WHERE doc_id % 50 = 0 AND len(ws) >= 1 " +
+      "UNION SELECT 'zzz@absent@1' UNION SELECT 'zzz@absent@2'), " +
+      s"ph AS (SELECT probe, ${bloomFoldSql("probe", 1000000007L)} AS " +
+      s"h1, ${bloomFoldSql("probe", 998244353L)} AS h2 FROM pr), " +
+      "pp AS (SELECT probe, (h1 + i * (2*h2 + 1)) % 1048576 AS p " +
+      "FROM (SELECT probe, h1, h2, " +
+      "unnest(generate_series(0, 6)) AS i FROM ph)) " +
+      "SELECT pp.probe, (count(up.p) = 7) AS hit FROM pp " +
+      "LEFT JOIN up ON pp.p = up.p GROUP BY pp.probe"
 
   private lazy val mediaDedupOracleSql: String =
     s"WITH $mediaHashCtes, " +

@@ -342,6 +342,35 @@ object GraftOpFunctions {
         KmvMergeEstimate(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue)
       }),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_agg(col, m, k) takes 3 arguments, " +
+            s"got ${exprs.length}")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "graft_bloom_agg: m and k must be literals")
+        BloomAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue)
+      }),
+    (FunctionIdentifier("graft_bloom_merge"),
+      new ExpressionInfo(classOf[BloomMergeBlobs].getName,
+        "graft_bloom_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_bloom_merge takes 1 argument, got ${exprs.length}")
+        BloomMergeBlobs(exprs.head)
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_contains(blob, value, k) takes 3 arguments, " +
+            s"got ${exprs.length}")
+        BloomContains(exprs(0), exprs(1), exprs(2))
+      }),
     (FunctionIdentifier("graft_window_hashes"),
       new ExpressionInfo(classOf[WindowHashes].getName,
         "graft_window_hashes"),

@@ -66,6 +66,34 @@ object Retrieval {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-path decontamination — same rule and output shape as
+    * `decontaminate`, but the bench set collapses to one BLOOM-1 blob
+    * (m bits, k probes — see `graft.functions.BloomOps` for the frozen
+    * hash and sizing rule) shipped to every task as a literal, and the
+    * corpus side tests each doc's DISTINCT n-grams inline: ZERO corpus
+    * shuffle, versus the exact join's corpus-wide distinct(doc, gram)
+    * exchange. False positives are deterministic under the frozen hash
+    * (the oracle recomputes the exact bit positions); size m ~ 16x the
+    * bench gram count to keep them ~1e-4.
+    */
+  def decontaminateBloom(spark: SparkSession, corpus: DataFrame,
+      bench: DataFrame, n: Int = 13, m: Int = 32768, k: Int = 7)
+      : DataFrame = {
+    import spark.implicits._
+    val blob = bench
+      .select(explode(wordNgrams(toks($"text"), n)).as("g"))
+      .distinct()
+      .agg(graft.functions.Bloom.bloomAgg($"g", m, k).as("b"))
+      .head.getAs[Array[Byte]](0) // one m/8-byte row: scalar bootstrap
+    corpus
+      .select($"doc_id",
+        array_distinct(wordNgrams(toks($"text"), n)).as("gs"))
+      .select($"doc_id",
+        size(filter($"gs", g => graft.functions.Bloom
+          .bloomContains(lit(blob), g, k))).cast("long").as("n_shared"))
+      .filter($"n_shared" > 0)
+  }
+
   /** Okapi BM25 top-k retrieval. `corpus` is (doc_id, text); `queries`
     * is (qid, terms: array<string>). Returns (qid, rn, doc_id,
     * score_scaled) with rn <= k, ranked by score then doc_id.

@@ -232,6 +232,26 @@ object ConfigPipeline {
           graft.ops.Retrieval.decontaminate(s, corpus, bench, n)
         }
       },
+      // bloom-path decontamination: same contract as `decontaminate`
+      // but the bench set ships as a BLOOM-1 blob literal — zero
+      // corpus shuffle (m/k per graft.functions.BloomOps sizing)
+      "decontaminate_bloom" -> { (s, cfg) =>
+        val idCol = str(cfg, "id", "doc_id")
+        val textCol = str(cfg, "text", "text")
+        val benchExpr = str(cfg, "bench_expr")
+        val n = num(cfg, "n", 13).toInt
+        val m = num(cfg, "m", 32768).toInt
+        val k = num(cfg, "k", 7).toInt
+        df => {
+          val corpus = df.filter(!expr(benchExpr))
+            .select(col(idCol).cast("long").as("doc_id"),
+              col(textCol).as("text"))
+          val bench = df.filter(expr(benchExpr))
+            .select(col(textCol).as("text"))
+          graft.ops.Retrieval.decontaminateBloom(
+            s, corpus, bench, n, m, k)
+        }
+      },
       // BM25 top-k retrieval: rows satisfying `queries_expr` contribute
       // query term sets via `terms_expr` (an SQL array<string>
       // expression); the corpus is ALL rows. Output (qid, rn, doc_id,

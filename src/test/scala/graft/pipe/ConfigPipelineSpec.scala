@@ -292,6 +292,30 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(viaCfg.filter($"n_removed" === 6).count() == 2)
   }
 
+  test("runOps: decontaminate_bloom equals the direct op call and " +
+    "flags exactly the contaminated doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "xx yy zz aa bb"), // contains the bench 3-gram "yy zz aa"
+      (2L, "pp qq rr ss"),
+      (100L, "yy zz aa")
+    ).toDF("id", "body")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq).toSet
+    val viaCfg = ConfigPipeline.runOps(spark, df,
+      """[{"step": "decontaminate_bloom",
+           "config": {"id": "id", "text": "body",
+                      "bench_expr": "id >= 100",
+                      "n": 3, "m": 1024, "k": 7}}]""")
+    val direct = graft.ops.Retrieval.decontaminateBloom(spark,
+      df.filter($"id" < 100)
+        .select($"id".as("doc_id"), $"body".as("text")),
+      df.filter($"id" >= 100).select($"body".as("text")),
+      3, 1024, 7)
+    assert(rows(viaCfg) == rows(direct))
+    assert(rows(viaCfg) == Set(Seq(1L, 1L)))
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
