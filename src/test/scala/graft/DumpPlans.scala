@@ -52,6 +52,12 @@ object DumpPlans {
       SparkEntry.queries("t_decontaminate")(spark, sf))
     dump("t_pack (one bucket exchange, slim window rows)",
       SparkEntry.queries("t_pack")(spark, sf))
+    dump("t_dedup_lines (distinct-pair count + strip anti-join)",
+      SparkEntry.queries("t_dedup_lines")(spark, sf))
+    dump("t_dedup_substr (rolling fingerprints, long-only shuffle)",
+      SparkEntry.queries("t_dedup_substr")(spark, sf))
+    dump("t_bloom_decontaminate (blob literal, zero corpus shuffle)",
+      SparkEntry.queries("t_bloom_decontaminate")(spark, sf))
     spark.stop()
   }
 }
