@@ -584,6 +584,35 @@ object SparkEntry {
           $"height", $"n_frames")
     },
 
+    // STREAMING bloom decontamination: the blob is built OFFLINE from
+    // the bench set (the deployment shape: blocklist compiled once,
+    // live corpus filtered in flight), and because the BLOOM-1 probe
+    // is a stateless per-row expression, the SAME batch operator
+    // (Retrieval.decontaminateBloom) runs unchanged on the stream —
+    // no aggregation state, no watermark, exactly-once parquet sink.
+    // Output (and oracle) identical to batch t_bloom_decontaminate.
+    "x_streaming_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = scratchDir("sdecon")
+      val d = docs(s, dir)
+      d.select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val bench = d.filter($"doc_id" % 97 === 0)
+        .select(array_join(
+          slice(filter(split($"text", " "), w => w =!= ""), 11, 30),
+          " ").as("text"))
+      val stream = s.readStream
+        .schema(d.select($"doc_id", $"text").schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(s"$tmp/in")
+      val out = graft.ops.Retrieval.decontaminateBloom(s, stream, bench)
+      graft.streaming.StreamingJob
+        .sink(out, s"$tmp/out", s"$tmp/ckpt")
+        .start().awaitTermination()
+      dropStreamStaging(tmp)
+      s.read.parquet(s"$tmp/out").select($"doc_id", $"n_shared")
+    },
+
     "t_media_dedup" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long]
@@ -2840,6 +2869,7 @@ object SparkEntry {
 
     "t_decontaminate" -> decontaminateOracleSql,
     "t_bloom_decontaminate" -> bloomDecontaminateOracleSql,
+    "x_streaming_decontam" -> bloomDecontaminateOracleSql,
     "t_bloom_merge" -> bloomMergeOracleSql,
 
     // 1 chunk when n <= 32, else 1 + ceil((n-32)/24) — pure integer
