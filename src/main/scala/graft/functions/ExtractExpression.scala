@@ -371,6 +371,15 @@ object GraftOpFunctions {
             s"got ${exprs.length}")
         BloomContains(exprs(0), exprs(1), exprs(2))
       }),
+    (FunctionIdentifier("graft_covered_runs"),
+      new ExpressionInfo(classOf[CoveredRuns].getName,
+        "graft_covered_runs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_covered_runs(starts, w) takes 2 arguments, " +
+            s"got ${exprs.length}")
+        CoveredRuns(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_window_hashes"),
       new ExpressionInfo(classOf[WindowHashes].getName,
         "graft_window_hashes"),

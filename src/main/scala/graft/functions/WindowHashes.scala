@@ -78,6 +78,92 @@ object WindowHashOps {
   }
 }
 
+/** Merge SORTED 1-based window starts into maximal covered runs: each
+  * output long packs (runStart << 32) | runEnd, runs inclusive, a new
+  * window [st, st+w-1] extending the current run when st <= end+1.
+  * O(|starts|) imperative — a declarative aggregate() fold costs an
+  * array copy per element (measured 4x slower end-to-end on
+  * t_dedup_substr), and the per-token coverage test then probes r
+  * merged runs instead of |starts| raw windows (r = 1 for a fully
+  * duplicated doc, where |starts| ~ n).
+  */
+object RunOps {
+  def eval(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](n)
+    var cnt = 0
+    var s = arr.getInt(0)
+    var e = s + w - 1
+    var i = 1
+    while (i < n) {
+      val st = arr.getInt(i)
+      if (st <= e + 1) { if (st + w - 1 > e) e = st + w - 1 }
+      else {
+        out(cnt) = (s.toLong << 32) | e; cnt += 1
+        s = st; e = st + w - 1
+      }
+      i += 1
+    }
+    out(cnt) = (s.toLong << 32) | e; cnt += 1
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
+case class CoveredRuns(starts: Expression, w: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = starts
+  override def right: Expression = w
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = starts.nullable
+  override def prettyName: String = "graft_covered_runs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    starts.dataType match {
+      case ArrayType(IntegerType, _)
+          if w.dataType == IntegerType && w.foldable =>
+        if (w.eval().asInstanceOf[Number].intValue >= 1)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_covered_runs: window must be >= 1")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_covered_runs(starts, w) requires ARRAY<INT> " +
+          s"and a literal INT window, got " +
+          s"${starts.dataType.catalogString} and " +
+          s"${w.dataType.catalogString}")
+    }
+
+  private lazy val wVal: Int = w.eval().asInstanceOf[Number].intValue
+
+  override def eval(input: InternalRow): Any = {
+    val v = starts.eval(input)
+    if (v == null) null
+    else RunOps.eval(v.asInstanceOf[ArrayData], wVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = starts.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    val code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.RunOps.eval(${c.value}, $wVal);
+        }
+        boolean ${ev.isNull} = ${ev.value} == null;
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(starts = newLeft, w = newRight)
+}
+
 case class WindowHashes(tokens: Expression, w: Expression)
     extends BinaryExpression {
 
@@ -136,4 +222,9 @@ object WindowHashes {
   def windowHashes(tokens: Column, w: Int): Column =
     ColumnBridge.column(
       WindowHashes(ColumnBridge.expression(tokens), Literal(w)))
+
+  /** Column API: merge sorted window starts into packed covered runs. */
+  def coveredRuns(starts: Column, w: Int): Column =
+    ColumnBridge.column(
+      CoveredRuns(ColumnBridge.expression(starts), Literal(w)))
 }

@@ -74,9 +74,18 @@ object ExactSubstr {
       .agg(array_sort(collect_list($"i")).as("starts"))
 
     val s0 = coalesce($"starts", expr("cast(array() as array<int>)"))
-    // token j (0-based) is removed iff covered by any marked window
+    // merge the sorted starts into maximal covered runs BEFORE the
+    // per-token test (native graft_covered_runs, O(|starts|)): a
+    // heavily-duplicated doc has |starts| ~ n marked windows but only
+    // r maximal runs (r = 1 when the whole doc is duplicated), so the
+    // strip drops from O(n * |starts|) to O(n * r) — the worst case is
+    // exactly the duplicated documents this operator exists to handle
+    val runs = graft.functions.WindowHashes.coveredRuns(s0, w)
+    // token j (0-based) is removed iff covered by any merged run
+    // (runs pack (start << 32) | end, both 1-based inclusive)
     val kept = filter($"ws", (t, j) =>
-      !exists(s0, st => st <= j + 1 && j + 1 <= st + lit(w - 1)))
+      !exists(runs, r => shiftright(r, 32) <= (j + 1).cast("long") &&
+        (j + 1).cast("long") <= r.bitwiseAND(lit(4294967295L))))
 
     toks.join(starts, Seq("doc_id"), "left")
       .select($"doc_id",

@@ -54,6 +54,23 @@ class WindowHashesSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("coveredRuns merges sorted starts into maximal inclusive runs " +
+    "(adjacent-coverage merge, gaps split, full-doc collapse)") {
+    import spark.implicits._
+    def runs(starts: Seq[Int], w: Int): Seq[(Long, Long)] =
+      Seq(starts).toDF("s")
+        .select(WindowHashes.coveredRuns($"s", w).as("r"))
+        .collect()(0).getSeq[Long](0)
+        .map(x => (x >> 32, x & 0xffffffffL))
+    // [1..6] and [7..12] touch (7 <= 6+1) -> one run; 20 stands alone
+    assert(runs(Seq(1, 7, 20), 6) == Seq((1L, 12L), (20L, 25L)))
+    // overlapping chain collapses to one run
+    assert(runs(1 to 95, 6) == Seq((1L, 100L)))
+    // a gap of exactly one uncovered token splits runs ([1..6], [8..13])
+    assert(runs(Seq(1, 8), 6) == Seq((1L, 6L), (8L, 13L)))
+    assert(runs(Seq.empty, 6).isEmpty)
+  }
+
   test("SQL surface: graft_window_hashes equals the Column API and " +
     "rejects a non-literal / too-small window at analysis time") {
     import spark.implicits._

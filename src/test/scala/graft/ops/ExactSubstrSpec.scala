@@ -52,6 +52,16 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(2L) == ((8L, 7L, md5hex("tail"))))
   }
 
+  test("a long fully-duplicated doc (every window marked) collapses " +
+    "cleanly — the merged-run path, |starts| ~ n but one run") {
+    val big = (1 to 200).map(i => s"v$i").mkString(" ")
+    val out = run(Seq((1L, big), (2L, big), (3L, "lone words here")),
+      w = 6)
+    assert(out(1L) == ((200L, 200L, md5hex(""))))
+    assert(out(2L) == ((200L, 200L, md5hex(""))))
+    assert(out(3L) == ((3L, 0L, md5hex("lone words here"))))
+  }
+
   test("docs shorter than W and duplicate-free corpora are untouched; " +
     "a fully-duplicated doc hashes to md5 of the empty string") {
     val out = run(Seq(
