@@ -46,6 +46,18 @@ object SparkEntry {
   def htmlFrame(text: String): String =
     htmlFramePrefix + text + htmlFrameSuffix
 
+  /** Deterministic markdown framing (MD-1 oracle fixture): heading and
+    * list markers to strip, an emphasis pair to exclude, and a code
+    * fence whose content (asterisks included) must survive verbatim.
+    * Requires >= 3 words.
+    */
+  def mdFrame(text: String): String = {
+    val ws = text.split(' ')
+    "# Heading " + ws(0) + "\n\n" + text + "\n\n" +
+      "- item " + ws(1) + "\n- *" + ws(2) + "*\n\n" +
+      "```\ncode *" + ws(0) + "* stays\n```\n"
+  }
+
   /** Deterministic PDF-runs framing: words laid out 6 per line, emission
     * order reversed (so XY-cut must restore reading order).
     */
@@ -151,6 +163,22 @@ object SparkEntry {
         .select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, t) =>
           val ex = Extractor.extract("assistant", "", htmlFrame(t))
+          (id, ex.extractor, ex.extracted_text)
+        }.toDF("doc_id", "extractor", "extracted")
+    },
+
+    // MD-1 end-to-end: doc text framed as markdown (heading + list
+    // markers, an emphasis pair, a verbatim code fence); the oracle
+    // recomputes the expected extraction from the RAW doc text, so
+    // routing, marker stripping, fragment spans and fence handling are
+    // all independently checked
+    "x_md_docs" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .filter(size(filter(split($"text", " "), w => w =!= "")) >= 3)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, t) =>
+          val ex = Extractor.extract("user", "", mdFrame(t))
           (id, ex.extractor, ex.extracted_text)
         }.toDF("doc_id", "extractor", "extracted")
     },
@@ -2286,6 +2314,18 @@ object SparkEntry {
     "x_pdf_docs" ->
       (s"SELECT doc_id, 'pdf' AS extractor, $pdfTextSql AS extracted " +
         "FROM documents"),
+
+    // MD-1 expected output recomputed from the raw doc text: heading
+    // and item markers gone, emphasis asterisks gone from the
+    // paragraph, code fence content verbatim (asterisks kept)
+    "x_md_docs" ->
+      ("SELECT doc_id, 'md' AS extractor, " +
+        "'Heading ' || ws[1] || chr(10) || replace(text, '*', '') || " +
+        "chr(10) || 'item ' || ws[2] || chr(10) || ws[3] || chr(10) || " +
+        "'code *' || ws[1] || '* stays' AS extracted " +
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws " +
+        "FROM documents) " +
+        "WHERE len(list_filter(ws, x -> x <> '')) >= 3"),
 
     "x_transcripts" -> transcriptsSql,
 

@@ -23,7 +23,19 @@ object Extractor {
     if (role == "tool" || (tool != null && tool.nonEmpty)) "tool"
     else if (looksHtml(text)) "html"
     else if (looksPdfRuns(text)) "pdf"
+    else if (looksMd(text)) "md"
     else "plain"
+  }
+
+  /** Strict markdown sniff (MD-1): an ATX heading at the first non-ws
+    * char AND at least one further structural marker. Deliberately
+    * narrow so no payload the plain path previously owned can reroute
+    * unless it is unmistakably markdown.
+    */
+  def looksMd(text: String): Boolean = {
+    val t = firstNonWs(text)
+    t >= 0 && text.startsWith("# ", t) &&
+      (text.contains("\n- ") || text.contains("\n```"))
   }
 
   def looksHtml(text: String): Boolean = {
@@ -121,6 +133,8 @@ object Extractor {
             Versions.ExtractorVersion)
         case "pdf" =>
           finish("pdf", payload, XyCut.extractSpans(payload), "")
+        case "md" =>
+          finish("md", payload, graft.md.Markdown.spans(payload), "")
         case _ =>
           finish("plain", payload, plainSpans(payload), "")
       }

@@ -38,7 +38,7 @@ case class Span(begin: Int, end: Int, kind: String) {
   * every element view, vkit/mechanism/distortion/interface.py:823-912).
   */
 case class Extraction(
-    extractor: String, // plain | html | pdf | tool
+    extractor: String, // plain | html | pdf | md | tool
     extracted_text: String,
     spans: Seq[Span],
     error: String, // "" when clean; non-empty => raw-text fallback used
@@ -74,12 +74,16 @@ case class LineageRow(
 
 object Versions {
   /** Frozen EXTRACTION spec version (stamped into every lineage row);
-    * bump when NORM/ENT/BOIL/XYCUT/TOOL/RENDER/COLLATE rules change.
+    * bump when NORM/ENT/BOIL/XYCUT/TOOL/RENDER/COLLATE/MD rules change.
     * v2: ENT-1 (34 names, ';' required) -> ENT-2 (full WHATWG table,
     * legacy semicolon-less forms, numeric refs with optional ';' and
     * the windows-1252 C1 override).
+    * v3: MD-1 markdown engine added (ATX-heading-sniffed payloads that
+    * previously fell to the plain path now extract structurally:
+    * heading/item markers stripped, fences dropped with code verbatim,
+    * asterisks excluded outside code).
     */
-  val ExtractorVersion = "v2"
+  val ExtractorVersion = "v3"
 
   /** Frozen language-ID spec version. The exact dictionary contents are
     * additionally pinned by `Lexicon.collection.contentHash` (sha256),

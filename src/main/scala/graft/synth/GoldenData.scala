@@ -80,7 +80,27 @@ object GoldenData {
     // plain with messy paragraph whitespace
     Turn("edge-plain", 0, "user",
       "  lead ws\nsecond line  \n\n\n  par two  \n\t\n par three", "",
-      ts(13)))
+      ts(13)),
+    // MD-1: headings at several levels, items, emphasis fragments
+    Turn("edge-md", 0, "user",
+      "# Title words here\n\nplain para line\n## Sub *head*\n" +
+        "- item one\n- *two* starred\n###### deep\n####### toodeep x",
+      "", ts(18)),
+    // MD-1: code fence verbatim (markers kept inside), unterminated
+    // fence runs to EOF
+    Turn("edge-md", 1, "user",
+      "# Code sample\n\n```\nkeep *stars* and # hashes - here\n\n" +
+        "second code line\n```\nafter fence\n```\nunterminated tail",
+      "", ts(19)),
+    // MD-1: non-markers ('#tag', '-dash', '*' runs), all-asterisk line
+    Turn("edge-md", 2, "user",
+      "# Markers or not\n\n#tag stays\n-dash stays\n2 * 3 stars " +
+        "stripped\n***\n- \nmixed *a*b*c* ends", "", ts(20)),
+    // looksMd NEGATIVE: heading-like start but no second marker ->
+    // stays on the plain path ('#' preserved)
+    Turn("edge-md", 3, "user",
+      "# looks like a heading\nbut no list or fence follows anywhere",
+      "", ts(21)))
 
   /** Full golden-small input: 20 synthetic convs + edges. */
   def inputTurns: Seq[Turn] =
