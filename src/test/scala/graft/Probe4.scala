@@ -8,12 +8,16 @@ import graft.synth.SynthTranscripts
   */
 object Probe4 {
   def main(args: Array[String]): Unit = {
-    val kinds = Seq("plain", "html", "pdf", "tool")
+    val kinds = Seq("plain", "html", "pdf", "md", "tool")
     val r = new SynthTranscripts.Rng(42)
     def payload(kind: String): (String, String, String) = kind match {
       case "plain" => ("user", "", SynthTranscripts.plainPayload(r))
       case "html"  => ("assistant", "", SynthTranscripts.htmlPayload(r))
       case "pdf"   => ("assistant", "", SynthTranscripts.pdfPayload(r))
+      case "md" => ("user", "",
+        "# Section heading\n\n" + SynthTranscripts.plainPayload(r) +
+          "\n- item *one* listed\n- second *item*\n\n" +
+          "```\ncode *stays* verbatim # here\n```\n")
       case _       => ("tool", "bash",
         SynthTranscripts.toolPayload(r, "bash"))
     }
