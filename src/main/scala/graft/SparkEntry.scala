@@ -1730,6 +1730,33 @@ object SparkEntry {
         d.select($"doc_id", array_join(planted, " ").as("text")), w = 6)
     },
 
+    // SNAPSHOT DIFF — the corpus-ops audit between two crawl/curation
+    // snapshots: added / removed / modified docs by content hash. New
+    // snapshot synthesized from the old: every 7th doc dropped, every
+    // 11th amended, every 13th re-added under an offset id. Scale
+    // shape: both sides collapse to (doc_id, md5) BEFORE the single
+    // full-outer join — document text never enters the exchange, and
+    // the unchanged mass (the overwhelming majority at 100 TB) is
+    // filtered out of the result.
+    "t_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text")
+      val newSnap = d.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 11 === 0,
+          concat($"text", lit(" amended"))).otherwise($"text"))
+        .unionByName(d.filter($"doc_id" % 13 === 0)
+          .select(($"doc_id" + 7000000L).as("doc_id"), $"text"))
+      val o = d.select($"doc_id", md5($"text").as("h_old"))
+      val n = newSnap.select($"doc_id", md5($"text").as("h_new"))
+      o.join(n, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"h_old".isNull, "added")
+            .when($"h_new".isNull, "removed")
+            .when($"h_old" =!= $"h_new", "modified")
+            .otherwise("unchanged").as("status"))
+        .filter($"status" =!= "unchanged")
+    },
+
     // SNAPSHOT-INCREMENTAL RESUME under the oracle (the north rule's
     // "resumable from checkpoint" as a driver gate, not just a unit
     // test): the doc-turn corpus staged as 8 conv-partitioned input
@@ -2592,6 +2619,22 @@ object SparkEntry {
         "(tot.n_tokens - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
         "coalesce(ka.kept_hash, md5('')) AS text_hash " +
         "FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"),
+
+    // the same synthesized second snapshot + full-outer hash compare
+    "t_snapshot_diff" ->
+      ("WITH oldd AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "newd AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 " +
+        "THEN text || ' amended' ELSE text END) AS h FROM documents " +
+        "WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 7000000, md5(text) FROM documents " +
+        "WHERE doc_id % 13 = 0) " +
+        "SELECT doc_id, status FROM (" +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.h <> n.h THEN 'modified' ELSE 'unchanged' END AS status " +
+        "FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id) " +
+        "WHERE status <> 'unchanged'"),
 
     // the resume contract as literals: 4 new files per increment, 0 on
     // replay, 8 manifest files over 2 committed runs, zero row diff

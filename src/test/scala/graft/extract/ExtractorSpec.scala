@@ -179,5 +179,14 @@ class ExtractorSpec extends AnyFunSuite {
     val d = Extractor.extractEnsemble(
       Seq(("html", 1.0), ("plain", 0.5)), "assistant", "", frame(""))
     assert(d.extractor == "plain")
+    // md is a first-class ensemble member: markers stripped when it
+    // wins, and the plain fallback keeps them
+    val mdPayload = "# Head line\n\n" +
+      (1 to 10).map(i => s"w$i").mkString(" ") + "\n- item *x* here"
+    val e = Extractor.extractEnsemble(
+      Seq(("md", 0.9), ("plain", 0.2)), "user", "", mdPayload)
+    assert(e.extractor == "md" &&
+      e.extracted_text.startsWith("Head line") &&
+      e.extracted_text.endsWith("item x here"))
   }
 }
