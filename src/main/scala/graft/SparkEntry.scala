@@ -1730,6 +1730,31 @@ object SparkEntry {
         d.select($"doc_id", array_join(planted, " ").as("text")), w = 6)
     },
 
+    // URL-1 canonicalization — the cheapest dedup tier, run before any
+    // content dedup: fragment dropped, scheme/host lowercased, default
+    // ports stripped, utm_*/fbclid/gclid params removed preserving the
+    // order of survivors. Five deterministic URL shapes per doc cover
+    // every branch; the oracle recomputes the identical split_part
+    // chain, so any divergence in the rule set breaks the gate.
+    "t_url_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val url = when($"doc_id" % 5 === 0,
+        concat(lit("HTTP://EXAMPLE.com:80/Path/"), id,
+          lit("?utm_source=feed&id="), id, lit("#frag")))
+        .when($"doc_id" % 5 === 1,
+          lit("https://Sub.Example.COM:443/a/b?gclid=xyz"))
+        .when($"doc_id" % 5 === 2,
+          concat(lit("http://example.org:8080/x?id="), id,
+            lit("&utm_campaign=c&q=term")))
+        .when($"doc_id" % 5 === 3,
+          concat(lit("HTTPS://CDN.example.net/asset/"), id))
+        .otherwise(lit("http://example.com/?fbclid=1&keep=2#x"))
+      docs(s, dir).select($"doc_id", url.as("url"))
+        .select($"doc_id", graft.ops.UrlOps.host($"url").as("host"),
+          graft.ops.UrlOps.normalize($"url").as("url_norm"))
+    },
+
     // SNAPSHOT DIFF — the corpus-ops audit between two crawl/curation
     // snapshots: added / removed / modified docs by content hash. New
     // snapshot synthesized from the old: every 7th doc dropped, every
@@ -2619,6 +2644,47 @@ object SparkEntry {
         "(tot.n_tokens - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
         "coalesce(ka.kept_hash, md5('')) AS text_hash " +
         "FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"),
+
+    // URL-1 mirrored step for step: same split_part chain, same
+    // tracking-param filter, same default-port rule
+    "t_url_normalize" ->
+      ("WITH u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 0 THEN 'HTTP://EXAMPLE.com:80/Path/' || " +
+        "doc_id || '?utm_source=feed&id=' || doc_id || '#frag' " +
+        "WHEN doc_id % 5 = 1 THEN " +
+        "'https://Sub.Example.COM:443/a/b?gclid=xyz' " +
+        "WHEN doc_id % 5 = 2 THEN 'http://example.org:8080/x?id=' || " +
+        "doc_id || '&utm_campaign=c&q=term' " +
+        "WHEN doc_id % 5 = 3 THEN 'HTTPS://CDN.example.net/asset/' || " +
+        "doc_id " +
+        "ELSE 'http://example.com/?fbclid=1&keep=2#x' END AS url " +
+        "FROM documents), " +
+        "s1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag " +
+        "FROM u), " +
+        "s2 AS (SELECT *, split_part(nofrag, '?', 1) AS preq, " +
+        "CASE WHEN strpos(nofrag, '?') > 0 THEN " +
+        "substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS query " +
+        "FROM s1), " +
+        "s3 AS (SELECT *, lower(split_part(preq, '://', 1)) AS scheme, " +
+        "substr(preq, length(split_part(preq, '://', 1)) + 4) AS rest " +
+        "FROM s2), " +
+        "s4 AS (SELECT *, split_part(rest, '/', 1) AS hostport, " +
+        "substr(rest, length(split_part(rest, '/', 1)) + 1) AS path " +
+        "FROM s3), " +
+        "s5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host, " +
+        "CASE WHEN strpos(hostport, ':') > 0 THEN " +
+        "split_part(hostport, ':', 2) ELSE '' END AS port FROM s4), " +
+        "s6 AS (SELECT *, array_to_string(list_filter(" +
+        "string_split(query, '&'), p -> p <> '' AND " +
+        "NOT starts_with(p, 'utm_') AND " +
+        "split_part(p, '=', 1) NOT IN ('fbclid', 'gclid')), '&') AS q2 " +
+        "FROM s5) " +
+        "SELECT doc_id, host, scheme || '://' || host || " +
+        "(CASE WHEN port <> '' AND NOT ((scheme = 'http' AND " +
+        "port = '80') OR (scheme = 'https' AND port = '443')) " +
+        "THEN ':' || port ELSE '' END) || path || " +
+        "(CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS url_norm " +
+        "FROM s6"),
 
     // the same synthesized second snapshot + full-outer hash compare
     "t_snapshot_diff" ->

@@ -306,6 +306,10 @@ object GraftOpFunctions {
       cs => graft.ops.Bpe.tokenCount(cs.head)),
     reg("graft_cosine", 2,
       cs => graft.ops.Ann.cosine(cs(0), cs(1))),
+    reg("graft_url_normalize", 1,
+      cs => graft.ops.UrlOps.normalize(cs.head)),
+    reg("graft_url_host", 1,
+      cs => graft.ops.UrlOps.host(cs.head)),
     (FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName,
         "graft_kmv_distinct"),
