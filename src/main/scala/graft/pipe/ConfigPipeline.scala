@@ -232,6 +232,15 @@ object ConfigPipeline {
           graft.ops.Retrieval.decontaminate(s, corpus, bench, n)
         }
       },
+      // URL-1 canonicalization: attaches url_norm + host (the
+      // pre-content dedup tier; dedupe_exact over url_norm downstream)
+      "url_normalize" -> { (_, cfg) =>
+        val urlCol = str(cfg, "url", "url")
+        df => df
+          .withColumn("url_norm",
+            graft.ops.UrlOps.normalize(col(urlCol)))
+          .withColumn("host", graft.ops.UrlOps.host(col(urlCol)))
+      },
       // bloom-path decontamination: same contract as `decontaminate`
       // but the bench set ships as a BLOOM-1 blob literal — zero
       // corpus shuffle (m/k per graft.functions.BloomOps sizing)

@@ -316,6 +316,22 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(rows(viaCfg) == Set(Seq(1L, 1L)))
   }
 
+  test("runOps: url_normalize step attaches URL-1 columns, then " +
+    "dedupe_exact over url_norm collapses raw-string variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://Example.com:80/a?utm_s=1"),
+      (2L, "HTTP://example.COM/a"),
+      (3L, "http://example.com/b")).toDF("id", "u")
+    val out = ConfigPipeline.runOps(spark, df,
+      """[{"step": "url_normalize", "config": {"url": "u"}}]""")
+    assert(out.columns.toSet ==
+      Set("id", "u", "url_norm", "host"))
+    assert(out.select($"host").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("example.com"))
+    assert(out.select($"url_norm").distinct().count() == 2)
+  }
+
   test("bad configs are rejected with a clear error") {
     import spark.implicits._
     val turns = spark.createDataset(GoldenData.inputTurns.take(2))
