@@ -1825,12 +1825,17 @@ object SparkEntry {
         "r2") // replay after commit: must be a 0-file no-op
       val manifest = graft.pipe.Checkpoint.readManifest(s, state)
       val resumed = graft.pipe.Checkpoint.readCommitted(s, out, state, "extracted")
+      // the single-shot pipeline feeds FOUR counting actions (two
+      // excepts + the row delta); localCheckpoint runs the extraction
+      // once instead of once per action (resumed is a bare parquet
+      // read-back — re-scanning it is cheaper than materializing)
       val (single, _) = Job.run(s,
         s.read.parquet(inDir.toString).as[Turn], "single",
         orderOutput = false)
-      val diff = resumed.except(single.toDF()).count() +
-        single.toDF().except(resumed).count()
-      val delta = resumed.count() - single.toDF().count()
+      val singleDF = single.toDF().localCheckpoint()
+      val diff = resumed.except(singleDF).count() +
+        singleDF.except(resumed).count()
+      val delta = resumed.count() - singleDF.count()
       s.range(1).select(
         lit(n1).as("files_run1"), lit(n2).as("files_run2"),
         lit(n3).as("files_replay"),

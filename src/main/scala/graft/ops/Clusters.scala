@@ -112,58 +112,139 @@ object Clusters {
       m.getOrElse("s", 0L).asInstanceOf[Long]))
   }
 
+  /** Edge-count bound below which the component labels are solved on
+    * the driver (union-find over the collected slim edge list) instead
+    * of by distributed star-contraction rounds. Rationale (guide §1.2 —
+    * fix the distributed algorithm first): the duplicate-pair graph is
+    * SPARSE relative to the corpus (edges exist only inside near-dup
+    * clusters), and each distributed round costs ~4 shuffle stages plus
+    * a checkpoint action; for a graph whose edge list fits comfortably
+    * in the same memory budget Spark grants a broadcast-join relation,
+    * a single collect + union-find + broadcast label join replaces
+    * O(log^2 n) such rounds. 4M edges = 64 MB of (u, v) longs — the
+    * same order as a default broadcast relation; beyond the bound the
+    * star-contraction path runs unchanged. Override with
+    * SPARK_GRAFT_CC_LOCAL_MAX (0 disables the local path entirely).
+    */
+  val LocalSolveMaxEdges: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_MAX", "4194304").toLong
+
+  /** Driver union-find over a collected edge list: (id -> min id of its
+    * component) for every id that appears in an edge. Union by rank,
+    * then one resolve pass; comp = min member id, so the labels are a
+    * pure function of the edge SET (collection order cannot matter).
+    */
+  private[ops] def unionFindLabels(edges: Array[(Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    val rank = new scala.collection.mutable.LongMap[Int]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      if (!parent.contains(u)) { parent(u) = u; rank(u) = 0 }
+      if (!parent.contains(v)) { parent(v) = v; rank(v) = 0 }
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (rank(ru) < rank(rv)) parent(ru) = rv
+        else if (rank(ru) > rank(rv)) parent(rv) = ru
+        else { parent(rv) = ru; rank(ru) = rank(ru) + 1 }
+      }
+    }
+    // comp = min id per root, applied to every member
+    val minOfRoot = new scala.collection.mutable.LongMap[Long]()
+    parent.keysIterator.foreach { id =>
+      val r = find(id)
+      val cur = minOfRoot.getOrElse(r, Long.MaxValue)
+      if (id < cur) minOfRoot(r) = id
+    }
+    val labels = new scala.collection.mutable.LongMap[Long]()
+    parent.keysIterator.foreach { id => labels(id) = minOfRoot(find(id)) }
+    labels
+  }
+
   /** Components of the graph (vertices, pairs). Input: `vertices` with
     * column `id`; `pairs` with columns (id_a, id_b). Output:
     * (id, comp) where comp = min id reachable — singletons map to
     * themselves. `maxIter` bounds the alternating rounds; the
     * O(log^2 n) convergence makes the default unreachable for any
     * physically storable graph (it exists as a defense against a bug,
-    * not a data shape).
+    * not a data shape). `localSolveMaxEdges` gates the driver-side
+    * union-find fast path (see LocalSolveMaxEdges).
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      vertices: DataFrame, maxIter: Int = 100): DataFrame = {
+      vertices: DataFrame, maxIter: Int = 100,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     import spark.implicits._
     // materialize the pair list ONCE (slim 2-long rows): the vertex
     // closure below references the pair plan twice and the final label
     // join would otherwise RE-EXECUTE an expensive pair generator
     // (minhash LSH candidate+verify in the flagship) at the output
     // action — measured as a multi-second duplicate subtree in
-    // t_corpus_cleanse before this checkpoint
-    val raw = pairs.select($"id_a", $"id_b").localCheckpoint()
-    // the vertex set is CLOSED over the pair ids: an id that appears
-    // only in `pairs` still gets a label — without this a component
-    // member missing from `vertices` would drop out of the output
-    val allVerts = vertices.select($"id")
-      .union(raw.select($"id_a".as("id")))
-      .union(raw.select($"id_b".as("id")))
-      .distinct()
-    var (edges, summary) = checkpointWithSummary(
-      raw
-        .select(greatest($"id_a", $"id_b").as("u"),
-          least($"id_a", $"id_b").as("v"))
-        .filter($"u" =!= $"v")
-        .distinct(),
-      "cc-init")
-    var iter = 0
-    var converged = summary._1 == 0L // no edges -> all singletons
-    while (!converged && iter < maxIter) {
-      val (next, nextSummary) = checkpointWithSummary(
-        smallStar(largeStar(edges)), s"cc-round-$iter")
-      converged = nextSummary == summary
-      edges = next
-      summary = nextSummary
-      iter += 1
+    // t_corpus_cleanse before this checkpoint. The edge count rides
+    // the SAME checkpoint action in-band (the checkpointWithSummary
+    // pattern) to pick the solve path without an extra job.
+    val rawObs = new Observation() // auto-named: unique per call
+    val raw = pairs.select($"id_a", $"id_b")
+      .observe(rawObs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nRaw = rawObs.get.getOrElse("n", 0L).asInstanceOf[Long]
+    if (nRaw <= localSolveMaxEdges) {
+      // LOCAL SOLVE: the raw pair list (dups/self-loops included —
+      // union-find absorbs both) is bounded, so label it on the driver
+      // and attach labels with one broadcast join. Replaces the whole
+      // O(log^2 n)-round loop: 1 job instead of ~4 stages/round.
+      val labels = unionFindLabels(raw.as[(Long, Long)].collect()
+        .collect { case (a, b) if a != b => (a, b) })
+      val labelDf = spark.createDataset(labels.toSeq)
+        .toDF("id", "comp")
+      vertices.select($"id")
+        .union(labelDf.select($"id"))
+        .distinct()
+        .join(broadcast(labelDf), Seq("id"), "left_outer")
+        .select($"id", coalesce($"comp", $"id").as("comp"))
+    } else {
+      // the vertex set is CLOSED over the pair ids: an id that appears
+      // only in `pairs` still gets a label — without this a component
+      // member missing from `vertices` would drop out of the output
+      val allVerts = vertices.select($"id")
+        .union(raw.select($"id_a".as("id")))
+        .union(raw.select($"id_b".as("id")))
+        .distinct()
+      var (edges, summary) = checkpointWithSummary(
+        raw
+          .select(greatest($"id_a", $"id_b").as("u"),
+            least($"id_a", $"id_b").as("v"))
+          .filter($"u" =!= $"v")
+          .distinct(),
+        "cc-init")
+      var iter = 0
+      var converged = summary._1 == 0L // no edges -> all singletons
+      while (!converged && iter < maxIter) {
+        val (next, nextSummary) = checkpointWithSummary(
+          smallStar(largeStar(edges)), s"cc-round-$iter")
+        converged = nextSummary == summary
+        edges = next
+        summary = nextSummary
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter alternating " +
+          "rounds — at O(log^2 n) rounds this indicates a bug or " +
+          "non-deterministic edge input, not a large graph")
+      // fixpoint edges form a star forest: (member, root) with root the
+      // component min; roots and singletons have no outgoing edge
+      allVerts
+        .join(edges.select($"u".as("id"), $"v".as("root")), Seq("id"),
+          "left_outer")
+        .select($"id", coalesce($"root", $"id").as("comp"))
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter alternating " +
-        "rounds — at O(log^2 n) rounds this indicates a bug or " +
-        "non-deterministic edge input, not a large graph")
-    // fixpoint edges form a star forest: (member, root) with root the
-    // component min; roots and singletons have no outgoing edge
-    allVerts
-      .join(edges.select($"u".as("id"), $"v".as("root")), Seq("id"),
-        "left_outer")
-      .select($"id", coalesce($"root", $"id").as("comp"))
   }
 
   /** Keeper table: one row per duplicate-cluster member with its

@@ -104,8 +104,14 @@ object EmbeddingDedup {
     require(nProbe == -1 || (nProbe >= 0 && nProbe <= nPlanes),
       "nProbe in [0, nPlanes], or -1 for all planes")
     val probes = if (nProbe == -1) nPlanes else nProbe
+    // probe rows are consumed twice (bucket-count pass + bucket join);
+    // the flatMap behind them normalizes and projects every vector on
+    // nTables x nPlanes hyperplanes — localCheckpoint materializes the
+    // slim (tbl, bucket, id, home) rows once instead of re-hashing the
+    // corpus per consumer (the MinHashDedup band-rows discipline)
     val rows = probeRows(spark, corpus, dim, nTables, nPlanes, probes,
       seed, Ann.corpusCenter(corpus, dim))
+      .localCheckpoint()
 
     // count pass first: degenerate buckets pruned before materializing;
     // the optional ledger observes the drops on this same pass

@@ -55,7 +55,10 @@ object MinHashDedup {
 
   /** Char n-grams as 64-bit hashes (set semantics) — the n-gram
     * Jaccard flavor of near-dup detection. Texts shorter than n have
-    * no shingles (degenerate-input rule).
+    * no shingles (degenerate-input rule). The FNV fold runs directly
+    * over the char window — same value as hashString(substring) with
+    * zero per-position String allocations (one hash per CHARACTER
+    * position makes this the hottest shingler; guide §1.2 step 2).
     */
   def charNgrams(text: String, n: Int): Set[Long] = {
     if (text.length < n) Set.empty
@@ -63,7 +66,15 @@ object MinHashDedup {
       val out = Set.newBuilder[Long]
       var i = 0
       while (i + n <= text.length) {
-        out += hashString(text.substring(i, i + n))
+        var h = 0xCBF29CE484222325L
+        var j = i
+        val end = i + n
+        while (j < end) {
+          h ^= text.charAt(j)
+          h *= 0x100000001B3L
+          j += 1
+        }
+        out += h
         i += 1
       }
       out.result()
@@ -81,13 +92,18 @@ object MinHashDedup {
         hashString(ws.slice(i, i + k).mkString(" "))).toSet
   }
 
-  /** MinHash signature: perm i = min over shingles of mix64(h ^ seed_i). */
+  /** MinHash signature: perm i = min over shingles of mix64(h ^ seed_i).
+    * seed_i = mix64(seed + i) is hoisted out of the shingle loop — the
+    * previous form recomputed it per (shingle, perm), doubling the
+    * mix64 count of the hottest inner loop in every near-dup pass.
+    */
   def signature(sh: Set[Long], numPerm: Int, seed: Long): Array[Long] = {
+    val seeds = Array.tabulate(numPerm)(i => mix64(seed + i))
     val sig = Array.fill(numPerm)(Long.MaxValue)
     for (h <- sh) {
       var i = 0
       while (i < numPerm) {
-        val v = mix64(h ^ mix64(seed + i))
+        val v = mix64(h ^ seeds(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -280,7 +296,14 @@ object MinHashDedup {
     val seed = 42L
     val mk = resolveShingler(shingler, shingleK)
 
+    // band rows are consumed TWICE (bucket-count pass + bucket join);
+    // without materialization the shingle+signature flatMap — the
+    // CPU-dominant stage of the whole operator — re-executes per
+    // consumer. localCheckpoint keeps only the slim ~20-byte
+    // (band, bh, id) rows (the Ann.materializeSlim discipline; a
+    // production run persists bandIndex to a table instead)
     val bandsDf = bandRows(spark, docs, mk, numPerm, bands, seed)
+      .localCheckpoint()
 
     // count pass first: a degenerate bucket is pruned as one (band, bh,
     // n) row, never materialized as a list; `ledger` (if given) observes

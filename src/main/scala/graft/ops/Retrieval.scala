@@ -57,11 +57,16 @@ object Retrieval {
     val benchGrams = bench
       .select(explode(wordNgrams(toks($"text"), n)).as("g"))
       .distinct()
-    val corpusGrams = corpus
+    // broadcast-join BEFORE the distinct: the bench membership test is
+    // a per-row filter, so applying it under the (doc_id, g) distinct
+    // leaves only MATCHED grams — a bench-hit-sized set — in the
+    // exchange, instead of shuffling every distinct corpus gram
+    // (corpus-sized strings of n words each). Set semantics are
+    // unchanged: distinct-then-filter == filter-then-distinct.
+    corpus
       .select($"doc_id", explode(wordNgrams(toks($"text"), n)).as("g"))
-      .distinct()
-    corpusGrams
       .join(broadcast(benchGrams), Seq("g"))
+      .distinct()
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -320,16 +325,29 @@ object Retrieval {
           struct(element_at($"ws", i).as("w1"),
             element_at($"ws", i + 1).as("w2")))).as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
-    val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    // collapse per-OCCURRENCE rows to per-(doc, bigram) CELLS with a
+    // multiplicity before anything else touches them: the model counts
+    // derive from the cells by summation, and the scoring join then
+    // moves |distinct bigrams per doc| rows instead of |tokens| rows
+    // through BOTH model joins (aggregate before you shuffle, guide
+    // §2.3). The cells are consumed three times (cb, cu via cb, score
+    // join) — localCheckpoint materializes the slim (doc, w1, w2, k)
+    // projection once instead of re-running the bigram explode per
+    // consumer. Scores are unchanged: sum over occurrences of nll ==
+    // sum over cells of k * nll, and k, nll are exact longs.
+    val bgc = bg.groupBy($"doc_id", $"w1", $"w2")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val cb = bgc.groupBy($"w1", $"w2").agg(sum($"k").as("c12"))
     val cu = cb.groupBy($"w1").agg(sum($"c12").as("c1"))
     val nll = round(-log(($"c12" + 1) * 1.0 / ($"c1" + $"v")) * 1e6)
       .cast("long")
-    bg.join(cb, Seq("w1", "w2"))
+    bgc.join(cb, Seq("w1", "w2"))
       .join(cu, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select($"doc_id", nll.as("s"))
+      .select($"doc_id", $"k", nll.as("s"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("snll"))
+      .agg(sum($"k").as("n_bigrams"), sum($"s" * $"k").as("snll"))
       .select($"doc_id", $"n_bigrams",
         expr("snll div n_bigrams").as("nll_mean_scaled"))
   }

@@ -108,7 +108,13 @@ object Winnow {
       k: Int = 8, w: Int = 16, threshold: Double = 0.5,
       fpCap: Int = 64): DataFrame = {
     import spark.implicits._
-    val fp = fingerprintIndex(spark, corpus, k, w)
+    // the fingerprint flatMap (rolling hash over every char of every
+    // doc — the CPU-dominant stage) is consumed by the cap count AND
+    // by fpk's three consumers below; localCheckpoint materializes the
+    // slim (f, id) longs once instead of re-fingerprinting the corpus
+    // per consumer (the MinHashDedup band-rows discipline; a
+    // production run persists fingerprintIndex to a table)
+    val fp = fingerprintIndex(spark, corpus, k, w).localCheckpoint()
     // boilerplate guard: a fingerprint shared by > fpCap docs (site
     // chrome, license headers) would expand to > cap^2 pairs; dropping
     // it is DETERMINISTIC and mirrored by the oracle

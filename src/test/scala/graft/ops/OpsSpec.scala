@@ -244,6 +244,42 @@ class ClustersSpec extends AnyFunSuite {
       .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
     assert(run(2) == run(7))
   }
+
+  test("local union-find fast path equals distributed star contraction " +
+    "(r6 optimization: same labels on a random multi-component graph)") {
+    import spark.implicits._
+    val r = new java.util.Random(23)
+    // random graph with dup edges, self-loops, both orientations, and
+    // ids missing from the vertex list — every absorbing rule the
+    // distributed path implements must hold on the local path too
+    val edges = (0 until 300).map(_ =>
+      (r.nextInt(120).toLong, r.nextInt(120).toLong))
+    val pairs = edges.toDF("id_a", "id_b")
+    val verts = spark.range(100).toDF("id")
+    def run(cap: Long) = Clusters.connectedComponents(spark, pairs,
+      verts, localSolveMaxEdges = cap)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+    val local = run(Long.MaxValue)
+    val distributed = run(0L) // cap 0 forces the star-contraction loop
+    assert(local == distributed)
+    assert(local.nonEmpty)
+  }
+
+  test("local path handles the 61-node path and empty graphs " +
+    "(keeper = component min under the cap too)") {
+    import spark.implicits._
+    val pairs = (0 until 60).map(i => (i.toLong, i + 1L))
+      .toDF("id_a", "id_b")
+    val verts = spark.range(61).toDF("id")
+    val got = Clusters.connectedComponents(spark, pairs, verts,
+      localSolveMaxEdges = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 60L).map(i => (i, 0L)).toSet)
+    val none = Clusters.connectedComponents(spark,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq.empty[Long].toDF("id"), localSolveMaxEdges = Long.MaxValue)
+    assert(none.collect().isEmpty)
+  }
 }
 
 class SimHashSpec extends AnyFunSuite {
