@@ -289,14 +289,16 @@ object SparkEntry {
         (max(unix_timestamp($"ts")) - min(unix_timestamp($"ts")))
           .as("span")).collect()(0).getLong(0)
       base.unpersist()
-      val stream = graft.streaming.StreamingJob.readTurnStream(s,
-        s"$tmp/in", maxFilesPerTrigger = 2)
-      val deduped = graft.streaming.StreamingJob.withDedupe(stream,
-        watermarkDelay = s"${span + 60} seconds")
-      val out = graft.streaming.StreamingJob.extractStream(deduped)
-      graft.streaming.StreamingJob
-        .writer(out, s"$tmp/out", s"$tmp/ckpt")
-        .start().awaitTermination()
+      withAdaptiveStreamPartitions(s, s"$tmp/in") {
+        val stream = graft.streaming.StreamingJob.readTurnStream(s,
+          s"$tmp/in", maxFilesPerTrigger = 2)
+        val deduped = graft.streaming.StreamingJob.withDedupe(stream,
+          watermarkDelay = s"${span + 60} seconds")
+        val out = graft.streaming.StreamingJob.extractStream(deduped)
+        graft.streaming.StreamingJob
+          .writer(out, s"$tmp/out", s"$tmp/ckpt")
+          .start().awaitTermination()
+      }
       dropStreamStaging(tmp)
       s.read.parquet(s"$tmp/out").select($"conv_id", $"turn_idx",
         $"extractor", $"extracted_text".as("extracted"))
@@ -326,19 +328,21 @@ object SparkEntry {
       s.createDataset(Seq(Turn("__sentinel__", 0, "user", "x", "",
         new java.sql.Timestamp(maxTs.getTime + 3600L * 1000))))
         .write.mode("append").parquet(s"$tmp/in")
-      val stream = graft.streaming.StreamingJob.readTurnStream(s,
-        s"$tmp/in", maxFilesPerTrigger = 100000)
-      val stats = graft.streaming.StreamingJob.windowedStats(stream,
-        windowLen = "1 minute", watermarkDelay = "10 minutes")
-      stats.selectExpr("conv_id", "window.start AS w_ts", "n_turns",
-        "n_errors")
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withAdaptiveStreamPartitions(s, s"$tmp/in") {
+        val stream = graft.streaming.StreamingJob.readTurnStream(s,
+          s"$tmp/in", maxFilesPerTrigger = 100000)
+        val stats = graft.streaming.StreamingJob.windowedStats(stream,
+          windowLen = "1 minute", watermarkDelay = "10 minutes")
+        stats.selectExpr("conv_id", "window.start AS w_ts", "n_turns",
+          "n_errors")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       dropStreamStaging(tmp)
       s.read.parquet(s"$tmp/out")
         .filter($"conv_id" =!= "__sentinel__")
@@ -424,19 +428,21 @@ object SparkEntry {
         new java.sql.Timestamp((maxSec + 3600L) * 1000),
         -1L, "sentinel", 0.0, "")))
         .toDF().write.mode("append").parquet(s"$tmp/in")
-      val stream = s.readStream
-        .schema(s.createDataset(Seq.empty[StreamingJob.EventRow]).schema)
-        .option("maxFilesPerTrigger", 100000)
-        .parquet(s"$tmp/in")
-        .as[StreamingJob.EventRow]
-      StreamingJob.sessionize(stream)
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withAdaptiveStreamPartitions(s, s"$tmp/in") {
+        val stream = s.readStream
+          .schema(s.createDataset(Seq.empty[StreamingJob.EventRow]).schema)
+          .option("maxFilesPerTrigger", 100000)
+          .parquet(s"$tmp/in")
+          .as[StreamingJob.EventRow]
+        StreamingJob.sessionize(stream)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       dropStreamStaging(tmp)
       s.read.parquet(s"$tmp/out")
         .filter($"user_id" =!= -1L)
@@ -457,20 +463,22 @@ object SparkEntry {
         .select($"event_id", $"ts".cast("timestamp").as("ts"),
           $"user_id", $"event_type", $"value", $"props")
         .write.mode("overwrite").parquet(s"$tmp/in")
-      def rd(kind: String) = s.readStream
-        .schema(s.createDataset(Seq.empty[StreamingJob.EventRow]).schema)
-        .option("maxFilesPerTrigger", 100000)
-        .parquet(s"$tmp/in")
-        .as[StreamingJob.EventRow]
-        .filter($"event_type" === kind)
-      StreamingJob.intervalJoin(rd("purchase"), rd("view"))
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withAdaptiveStreamPartitions(s, s"$tmp/in") {
+        def rd(kind: String) = s.readStream
+          .schema(s.createDataset(Seq.empty[StreamingJob.EventRow]).schema)
+          .option("maxFilesPerTrigger", 100000)
+          .parquet(s"$tmp/in")
+          .as[StreamingJob.EventRow]
+          .filter($"event_type" === kind)
+        StreamingJob.intervalJoin(rd("purchase"), rd("view"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       dropStreamStaging(tmp)
       s.read.parquet(s"$tmp/out")
         .select($"purchase_id", $"view_id", $"user_id")
@@ -2274,6 +2282,39 @@ object SparkEntry {
   private def dropStreamStaging(tmp: String): Unit = {
     deleteTree(new java.io.File(s"$tmp/in"))
     deleteTree(new java.io.File(s"$tmp/ckpt"))
+  }
+
+  /** Run a STATEFUL streaming query with a scale-adaptive shuffle/state
+    * partition count derived from the staged input size, restoring the
+    * session's shuffle partitions afterwards.
+    *
+    * Why (guide §2 — make partitioning scale-adaptive, not a constant):
+    * AQE is disabled for stateful streaming, so the state-store count is
+    * pinned to spark.sql.shuffle.partitions at the first micro-batch —
+    * every partition then pays per-batch state-store snapshot/commit
+    * I/O and a task, regardless of data volume. Sizing partitions as
+    * ceil(input_bytes / targetBytes) clamped to [1, defaultParallelism]
+    * gives a replay of a small staged corpus a handful of state stores
+    * while a production-scale stream (input >> targetBytes x cores)
+    * still gets full parallelism. Target bytes per partition:
+    * SPARK_GRAFT_STREAM_TARGET_PART_BYTES (default 64 MiB, the shuffle-
+    * partition sizing rule of guide §2.2).
+    */
+  private def withAdaptiveStreamPartitions[T](s: SparkSession,
+      stagedInDir: String)(f: => T): T = {
+    val targetBytes = sys.env
+      .getOrElse("SPARK_GRAFT_STREAM_TARGET_PART_BYTES", "67108864").toLong
+    def treeBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
+      else f.length()
+    val bytes = treeBytes(new java.io.File(stagedInDir))
+    val target = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", target)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private def deleteTree(f: java.io.File): Unit = {

@@ -30,15 +30,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** Cosine similarity of two array<float/double> columns, in doubles. */
+  /** Cosine similarity of two array<float/double> columns, in doubles.
+    * Native single-pass kernel (graft.functions.VecCosine) — bit-
+    * identical to the previous aggregate(zip_with(...)) HOF form
+    * (same left-to-right folds, same null semantics) but evaluated as
+    * one codegen-friendly loop with no per-pair intermediate arrays:
+    * brute-force scoring evaluates this |corpus| x |queries| times.
+    */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.VecCosine(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Exact top-k: for each row of `queries` (qid, qvec), the k nearest
@@ -77,13 +79,19 @@ object Ann {
   def knnTopK(spark: SparkSession, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    val c = corpus.select($"id", l2normalize($"vec").as("vec"))
-    val q = queries.select($"qid", l2normalize($"qvec").as("qvec"))
-    val scored = c.crossJoin(broadcast(q))
+    import org.apache.spark.sql.graft.ColumnBridge
+    // fused native normalize-then-dot (graft.functions.VecNormDot):
+    // bit-identical values to the previous l2normalize projections +
+    // zip_with dot (same per-element divide-then-multiply shape), but
+    // no per-row materialized double arrays, no interpreted lambda per
+    // pair, and the broadcast ships raw float vectors instead of
+    // widened doubles
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter($"id" =!= $"qid")
       .select($"qid", $"id",
-        aggregate(zip_with($"qvec", $"vec", (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x).as("sim"))
+        ColumnBridge.column(graft.functions.VecNormDot(
+          ColumnBridge.expression($"qvec"),
+          ColumnBridge.expression($"vec"))).as("sim"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)

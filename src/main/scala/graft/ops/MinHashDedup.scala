@@ -208,11 +208,15 @@ object MinHashDedup {
           .filter($"n" <= bucketCap).select($"band", $"bh"),
         Seq("band", "bh"))
       .withColumnRenamed("id", "old_id")
+    // candidate pairs feed THREE consumers (both semi-joins + the final
+    // verify join); materialize the slim id pairs once so the bucket
+    // join + distinct does not re-execute per consumer
     val pairs = keptOld
       .join(newBands.withColumnRenamed("id", "new_id"),
         Seq("band", "bh"))
       .select($"old_id", $"new_id")
       .distinct()
+      .localCheckpoint()
     def sortedShingles(docs: Dataset[(Long, String)],
         ids: DataFrame): DataFrame =
       docs.toDF("id", "text")

@@ -330,14 +330,15 @@ object Retrieval {
     // derive from the cells by summation, and the scoring join then
     // moves |distinct bigrams per doc| rows instead of |tokens| rows
     // through BOTH model joins (aggregate before you shuffle, guide
-    // §2.3). The cells are consumed three times (cb, cu via cb, score
-    // join) — localCheckpoint materializes the slim (doc, w1, w2, k)
-    // projection once instead of re-running the bigram explode per
-    // consumer. Scores are unchanged: sum over occurrences of nll ==
-    // sum over cells of k * nll, and k, nll are exact longs.
+    // §2.3). Scores are unchanged: sum over occurrences of nll == sum
+    // over cells of k * nll, and k, nll are exact longs. NOT
+    // localCheckpointed: lmScore composes downstream of expensive
+    // upstreams (t_corpus_mix), and an eager materialization here
+    // would both force the upstream to run at construction time and
+    // defeat in-plan exchange reuse across the remaining consumers —
+    // measured +12 AQE jobs on t_corpus_mix with a checkpoint.
     val bgc = bg.groupBy($"doc_id", $"w1", $"w2")
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
     val cb = bgc.groupBy($"w1", $"w2").agg(sum($"k").as("c12"))
     val cu = cb.groupBy($"w1").agg(sum($"c12").as("c1"))
     val nll = round(-log(($"c12" + 1) * 1.0 / ($"c1" + $"v")) * 1e6)
