@@ -1523,9 +1523,17 @@ object SparkEntry {
       val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
       val keptIds = graft.ops.Retrieval.temperatureKept(s, clean)
         .select($"doc_id")
+      // keptRows is the shared root of FOUR downstream consumers (the
+      // lmScore model aggregations + vocab + the final survivor join):
+      // materialize it once so the decontaminate + balance upstream —
+      // itself a multi-exchange composition — does not re-execute per
+      // consumer; same for the per-doc scores feeding the mean gate
+      // AND the gate filter
       val keptRows = clean.join(keptIds, Seq("doc_id"))
+        .localCheckpoint()
       val scores = graft.ops.Retrieval
         .lmScore(s, keptRows.select($"doc_id", $"text"))
+        .localCheckpoint()
       val gate = scores
         .agg(expr("sum(nll_mean_scaled) div count(1)").as("avg_nll"))
       val fin = scores.crossJoin(broadcast(gate))
@@ -1619,7 +1627,13 @@ object SparkEntry {
       val keep = graft.ops.Clusters.keepers(s, pairs,
         corpus.toDF("id", "text").select($"id"))
         .filter($"is_keeper").select($"id")
-      corpus.toDF("id", "text").join(keep, "id")
+      // LEFT SEMI (== inner: keep ids are unique) — the semi join
+      // pushes below cleanseCorpus's repartition exchange, so the
+      // QUAL-1/LANGID-4/REDACT-1 gates run on the full-parallelism
+      // exchange read instead of serializing after the join (the
+      // measured x_config_cleanse plan shape: 4.1 s single-task gate
+      // stage -> parallel)
+      corpus.toDF("id", "text").join(keep, Seq("id"), "left_semi")
         .withColumn("quality",
           graft.ops.TextStats.qualityScore($"text"))
         .filter($"quality" >= 0.5)
@@ -1926,6 +1940,7 @@ object SparkEntry {
       import s.implicits._
       val hist = docs(s, dir).select($"doc_id", $"text")
         .as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
       val tmp = scratchDir("inccleanse")
       graft.ops.MinHashDedup.bandIndex(s, hist)
         .write.mode("overwrite").parquet(s"$tmp/index")
@@ -2186,10 +2201,16 @@ object SparkEntry {
   private def cleanseCorpus(s: SparkSession, dir: String)
       : Dataset[(Long, String)] = {
     import s.implicits._
+    // repartition: the sf tables are single small parquet files -> a
+    // 2-partition union, which would serialize the signature pass AND
+    // the downstream QUAL-1/LANGID-4/REDACT-1 gates (regex CPU per
+    // doc) on two cores; at real scale the scan has many splits and
+    // the flagship plans are unchanged in shape (the t_lang_id /
+    // t_ngram_jaccard precedent)
     val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
     d.union(d.map { case (id, t) =>
       (id + 1000000L, t + " graft cluster tail one")
-    })
+    }).repartition(s.sparkContext.defaultParallelism)
   }
 
   /** Media retrieval corpus shared by t_media_ann (brute force) and

@@ -210,6 +210,45 @@ object Ann {
     else sums.map(_ / scale / n)
   }
 
+  /** The centered normalized direction signBucket hashes, computed
+    * ONCE per row: every (table, plane) dot reads the same
+    * nv(i) - center(i) values, so hoisting them out of the per-table
+    * loop removes nTables normalize passes and nTables x nPlanes
+    * center subtractions per row while producing bit-identical dots
+    * (same values, same i-ascending accumulation order).
+    */
+  @inline private[ops] def centeredDirection(v: Seq[Float],
+      center: Array[Double]): Array[Double] = {
+    val nv = normalize(v)
+    var i = 0
+    while (i < nv.length) {
+      nv(i) -= (if (i < center.length) center(i) else 0.0)
+      i += 1
+    }
+    nv
+  }
+
+  /** Sign bucket over a precomputed centered direction — the hot-loop
+    * body of signBucket(vec, pl, center) with the per-row work hoisted.
+    */
+  @inline private[ops] def signBucketCentered(cv: Array[Double],
+      pl: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < pl.length) {
+      var dot = 0.0
+      var i = 0
+      val row = pl(p)
+      while (i < row.length && i < cv.length) {
+        dot += row(i) * cv(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
   @inline private[ops] def normalize(v: Seq[Float]): Array[Double] = {
     val a = new Array[Double](v.length)
     var s = 0.0
@@ -275,9 +314,23 @@ object Ann {
     * vectors, the same pattern as Clusters' per-round checkpoint.
     */
   private def materializeSlim(df: DataFrame, idCol: String,
-      vecCol: String): (DataFrame, Long) = {
-    val slim = df.select(col(idCol), col(vecCol)).localCheckpoint()
-    (slim, slim.count())
+      vecCol: String, withCount: Boolean = true,
+      spread: Boolean = false): (DataFrame, Long) = {
+    val base = df.select(col(idCol), col(vecCol))
+    // spread=true (corpus sides): repartition to default parallelism
+    // when the upstream scan is narrower — a single-file corpus would
+    // otherwise run the CPU-heavy bucket-hash flatMap on 1-2 cores
+    // (guide §2.5 input-skew rule; no-op when the scan already has
+    // >= cores splits, so scale behavior is unchanged)
+    val sc = df.sparkSession.sparkContext
+    val widened =
+      if (spread && base.rdd.getNumPartitions < sc.defaultParallelism)
+        base.repartition(sc.defaultParallelism)
+      else base
+    val slim = widened.localCheckpoint()
+    // the corpus side's count is never consumed (only the query side's
+    // broadcast guard needs one) — skip the extra job
+    (slim, if (withCount) slim.count() else -1L)
   }
 
   /** Fixed-point scale for deterministic distributed summation:
@@ -387,7 +440,8 @@ object Ann {
     // slim inputs materialized once: corpus is consumed THREE times
     // (training sample, bucket assignment, candidate rerank), queries
     // twice — see materializeSlim
-    val (corpusM, _) = materializeSlim(corpus, "id", "vec")
+    val (corpusM, _) = materializeSlim(corpus, "id", "vec",
+      withCount = false, spread = true)
     val (queriesM, nq) = materializeSlim(queries, "qid", "qvec")
     require(nq <= MaxBroadcastQueries,
       s"ivfTopK: $nq query rows exceed the broadcastable bound " +
@@ -443,7 +497,8 @@ object Ann {
     // pass + candidate re-join), queries twice (probes + rerank) —
     // without this an expensive upstream (media content decode) would
     // run once PER consumption (see materializeSlim)
-    val (corpusM, _) = materializeSlim(corpus, "id", "vec")
+    val (corpusM, _) = materializeSlim(corpus, "id", "vec",
+      withCount = false, spread = true)
     val (queriesM, nq) = materializeSlim(queries, "qid", "qvec")
     require(nq <= MaxBroadcastQueries,
       s"lshTopK: $nq query rows exceed the broadcastable bound " +
@@ -455,13 +510,18 @@ object Ann {
     // checkpointed slim corpus
     val ctr = spark.sparkContext.broadcast(corpusCenter(corpusM, dim))
 
-    // slim (tbl, bucket, id) rows — vectors stay behind
+    // slim (tbl, bucket, id) rows — vectors stay behind; consumed by
+    // the bucket-count pass AND the bucket join, so materialized once
+    // (the MinHashDedup band-rows discipline); the centered direction
+    // is computed once per row, not once per (row, table)
     val corpusRows = corpusM.as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
+        val cv = centeredDirection(v, ctr.value)
         pl.value.iterator.zipWithIndex.map { case (t, ti) =>
-          (ti, signBucket(v, t, ctr.value), id)
+          (ti, signBucketCentered(cv, t), id)
         }
       }.toDF("tbl", "bucket", "id")
+      .localCheckpoint()
 
     // count-capped buckets (the MinHashDedup/EmbeddingDedup pattern):
     // a degenerate bucket — mass-duplicate content, residual sign
@@ -478,8 +538,9 @@ object Ann {
 
     val queryProbes = queriesM.as[(Long, Seq[Float])]
       .flatMap { case (qid, v) =>
+        val cv = centeredDirection(v, ctr.value)
         pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
-          val b = signBucket(v, t, ctr.value)
+          val b = signBucketCentered(cv, t)
           (Seq(b) ++ (0 until nPlanes).map(i => b ^ (1 << i)))
             .distinct.map(pb => (ti, pb, qid))
         }

@@ -58,7 +58,11 @@ object EmbeddingDedup {
     val ctr = spark.sparkContext.broadcast(center)
     corpus.as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
-        val nv = Ann.normalize(v)
+        // centered direction hoisted out of the table/plane loops: the
+        // nv(i) - c(i) values are identical for every plane, so this
+        // removes nTables x nPlanes redundant subtraction passes per
+        // row with bit-identical dots (same values, same order)
+        val cv = Ann.centeredDirection(v, ctr.value)
         pl.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
           val dots = new Array[Double](nPlanes)
           var b = 0
@@ -67,10 +71,8 @@ object EmbeddingDedup {
             var dot = 0.0
             var i = 0
             val row = t(p)
-            val c = ctr.value
-            while (i < row.length && i < nv.length) {
-              val x = nv(i) - (if (i < c.length) c(i) else 0.0)
-              dot += row(i) * x; i += 1
+            while (i < row.length && i < cv.length) {
+              dot += row(i) * cv(i); i += 1
             }
             dots(p) = dot
             if (dot >= 0) b |= (1 << p)
@@ -108,8 +110,11 @@ object EmbeddingDedup {
     // the flatMap behind them normalizes and projects every vector on
     // nTables x nPlanes hyperplanes — localCheckpoint materializes the
     // slim (tbl, bucket, id, home) rows once instead of re-hashing the
-    // corpus per consumer (the MinHashDedup band-rows discipline)
-    val rows = probeRows(spark, corpus, dim, nTables, nPlanes, probes,
+    // corpus per consumer (the MinHashDedup band-rows discipline), and
+    // the corpus is spread first so a narrow scan cannot serialize the
+    // hashing pass on 1-2 cores
+    val rows = probeRows(spark, MinHashDedup.spreadIfNarrow(corpus),
+      dim, nTables, nPlanes, probes,
       seed, Ann.corpusCenter(corpus, dim))
       .localCheckpoint()
 

@@ -167,6 +167,19 @@ object MinHashDedup {
       shingleK: Int): String => Set[Long] =
     if (shingler != null) shingler else shingles(_, shingleK)
 
+  /** Repartition a corpus to the session's default parallelism when its
+    * scan is NARROWER than that — the guide §2.5 input-skew rule (one
+    * small unsplittable file -> one task) applied to the CPU-heavy
+    * shingle/signature flatMaps: a single-file corpus otherwise runs
+    * the whole signing pass on one or two cores while 30 sit idle. At
+    * production scale the scan has >= cores splits and this is a no-op
+    * (the condition, not the repartition, is what makes it scale-safe).
+    */
+  private[ops] def spreadIfNarrow[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+  }
+
   /** Persistable band INDEX of a corpus: the slim (band, bh, id) rows
     * the candidate stage joins on, exposed so an incremental pipeline
     * computes them ONCE per corpus snapshot and writes them to a
@@ -201,7 +214,8 @@ object MinHashDedup {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val mk = resolveShingler(shingler, shingleK)
-    val newBands = bandRows(spark, newDocs, mk, numPerm, bands, 42L)
+    val newSpread = spreadIfNarrow(newDocs)
+    val newBands = bandRows(spark, newSpread, mk, numPerm, bands, 42L)
     val keptOld = oldIndex
       .join(oldIndex.groupBy($"band", $"bh")
           .agg(count(lit(1)).as("n"))
@@ -219,7 +233,7 @@ object MinHashDedup {
       .localCheckpoint()
     def sortedShingles(docs: Dataset[(Long, String)],
         ids: DataFrame): DataFrame =
-      docs.toDF("id", "text")
+      spreadIfNarrow(docs).toDF("id", "text")
         .join(ids, Seq("id"), "left_semi")
         .as[(Long, String)]
         .map { case (id, text) => (id, mk(text).toArray.sorted.toSeq) }
@@ -305,8 +319,10 @@ object MinHashDedup {
     // CPU-dominant stage of the whole operator — re-executes per
     // consumer. localCheckpoint keeps only the slim ~20-byte
     // (band, bh, id) rows (the Ann.materializeSlim discipline; a
-    // production run persists bandIndex to a table instead)
-    val bandsDf = bandRows(spark, docs, mk, numPerm, bands, seed)
+    // production run persists bandIndex to a table instead). The
+    // corpus is spread first so the signing pass uses every core.
+    val docsSpread = spreadIfNarrow(docs)
+    val bandsDf = bandRows(spark, docsSpread, mk, numPerm, bands, seed)
       .localCheckpoint()
 
     // count pass first: a degenerate bucket is pruned as one (band, bh,
@@ -340,8 +356,9 @@ object MinHashDedup {
     val candIds = pairs
       .select(explode(array($"id_a", $"id_b")).as("id"))
     // shingle arrays are SORTED once per doc here, so the per-pair
-    // verify below is a linear merge (see jaccardSorted)
-    val sh = docs.toDF("id", "text")
+    // verify below is a linear merge (see jaccardSorted); the spread
+    // corpus keeps candidate re-shingling parallel on narrow scans
+    val sh = docsSpread.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]
       .map { case (id, text) => (id, mk(text).toArray.sorted.toSeq) }

@@ -37,6 +37,15 @@ object Retrieval {
         array_join(slice(ws, i, lit(n)), " ")))
       .otherwise(array())
 
+  /** Spread a BATCH corpus whose scan is narrower than the session
+    * parallelism (guide §2.5: a single small file serializes the
+    * tokenize/ngram CPU on one core); streaming inputs pass through
+    * untouched — their parallelism is the source's file partitioning.
+    */
+  private def spreadBatch(corpus: DataFrame): DataFrame =
+    if (corpus.isStreaming) corpus
+    else MinHashDedup.spreadIfNarrow(corpus)
+
   /** Benchmark decontamination: flag corpus documents that share at
     * least one word n-gram with any benchmark document (the GPT-3 /
     * Gopher 13-gram overlap rule). Returns (doc_id, n_shared) where
@@ -63,7 +72,7 @@ object Retrieval {
     // exchange, instead of shuffling every distinct corpus gram
     // (corpus-sized strings of n words each). Set semantics are
     // unchanged: distinct-then-filter == filter-then-distinct.
-    corpus
+    spreadBatch(corpus)
       .select($"doc_id", explode(wordNgrams(toks($"text"), n)).as("g"))
       .join(broadcast(benchGrams), Seq("g"))
       .distinct()
@@ -90,7 +99,7 @@ object Retrieval {
       .distinct()
       .agg(graft.functions.Bloom.bloomAgg($"g", m, k).as("b"))
       .head.getAs[Array[Byte]](0) // one m/8-byte row: scalar bootstrap
-    corpus
+    spreadBatch(corpus)
       .select($"doc_id",
         array_distinct(wordNgrams(toks($"text"), n)).as("gs"))
       .select($"doc_id",
@@ -117,7 +126,8 @@ object Retrieval {
       queries: DataFrame, k: Int = 5, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val tokd = corpus.select($"doc_id", toks($"text").as("ws"))
+    val tokd = spreadBatch(corpus)
+      .select($"doc_id", toks($"text").as("ws"))
     // inverted-index cells carry the doc length (the standard postings
     // layout) so scoring needs no corpus-sized doc-stats join later;
     // dl is functionally dependent on doc_id, so the extra group key
@@ -316,7 +326,8 @@ object Retrieval {
     */
   def lmScore(spark: SparkSession, corpus: DataFrame): DataFrame = {
     import spark.implicits._
-    val tokd = corpus.select($"doc_id", toks($"text").as("ws"))
+    val tokd = spreadBatch(corpus)
+      .select($"doc_id", toks($"text").as("ws"))
     val vocab = tokd.select(explode($"ws").as("w"))
       .agg(countDistinct($"w").as("v"))
     val bg = tokd.filter(size($"ws") >= 2)

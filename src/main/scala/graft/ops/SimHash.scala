@@ -70,7 +70,13 @@ object SimHash {
     import spark.implicits._
     val nBlocks = maxDist + 1
 
-    val blocks = blockRows(spark, docs, nBlocks)
+    // simhashing is one mix64+64-bit vote per token — spread a narrow
+    // scan so it parallelizes, and materialize the slim block rows
+    // once for their two consumers (count pass + bucket join), the
+    // MinHashDedup band-rows discipline
+    val blocks = blockRows(spark,
+      MinHashDedup.spreadIfNarrow(docs), nBlocks)
+      .localCheckpoint()
 
     // count pass first, so a degenerate bucket (e.g. millions of docs
     // sharing a simhash block) is pruned as one (blk, bv, n) row and

@@ -114,7 +114,8 @@ object Winnow {
     // slim (f, id) longs once instead of re-fingerprinting the corpus
     // per consumer (the MinHashDedup band-rows discipline; a
     // production run persists fingerprintIndex to a table)
-    val fp = fingerprintIndex(spark, corpus, k, w).localCheckpoint()
+    val fp = fingerprintIndex(spark,
+      MinHashDedup.spreadIfNarrow(corpus), k, w).localCheckpoint()
     // boilerplate guard: a fingerprint shared by > fpCap docs (site
     // chrome, license headers) would expand to > cap^2 pairs; dropping
     // it is DETERMINISTIC and mirrored by the oracle
@@ -154,7 +155,8 @@ object Winnow {
       threshold: Double = 0.5, fpCap: Int = 64): DataFrame = {
     import spark.implicits._
     val fpH = index.toDF("f", "id")
-    val fpN = fingerprintIndex(spark, newBatch, k, w)
+    val fpN = fingerprintIndex(spark,
+      MinHashDedup.spreadIfNarrow(newBatch), k, w)
     val kept = fpH.union(fpN)
       .groupBy($"f").agg(count(lit(1)).as("docs"))
       .filter($"docs" <= fpCap)
