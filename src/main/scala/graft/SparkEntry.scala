@@ -631,7 +631,10 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("sdecon")
       val d = docs(s, dir)
-      d.select($"doc_id", $"text")
+      // 4 staged files = one full maxFilesPerTrigger micro-batch whose
+      // stateless gram+bloom CPU runs 4-way parallel (a 1-file staging
+      // serialized the whole batch on one core)
+      d.select($"doc_id", $"text").repartition(4)
         .write.mode("overwrite").parquet(s"$tmp/in")
       val bench = d.filter($"doc_id" % 97 === 0)
         .select(array_join(
@@ -1633,9 +1636,13 @@ object SparkEntry {
       // exchange read instead of serializing after the join (the
       // measured x_config_cleanse plan shape: 4.1 s single-task gate
       // stage -> parallel)
+      // Once: without the barrier the quality >= 0.5 predicate is
+      // pushed below the repartition exchange with the full QUAL-1
+      // expression substituted in — evaluated once on the narrow scan
+      // AND again in this projection (guide §4.4)
       corpus.toDF("id", "text").join(keep, Seq("id"), "left_semi")
-        .withColumn("quality",
-          graft.ops.TextStats.qualityScore($"text"))
+        .withColumn("quality", graft.functions.OnceOps.once(
+          graft.ops.TextStats.qualityScore($"text")))
         .filter($"quality" >= 0.5)
         .select($"id",
           graft.ops.Lexicon.langId($"text").as("lang_pred"),
@@ -1954,8 +1961,8 @@ object SparkEntry {
         .select($"new_id".as("id")).distinct()
       newBatch.toDF("id", "text")
         .join(dupNew, Seq("id"), "left_anti")
-        .withColumn("quality",
-          graft.ops.TextStats.qualityScore($"text"))
+        .withColumn("quality", graft.functions.OnceOps.once(
+          graft.ops.TextStats.qualityScore($"text")))
         .filter($"quality" >= 0.5)
         .select($"id",
           graft.ops.Lexicon.langId($"text").as("lang_pred"),

@@ -148,7 +148,8 @@ object EmbeddingDedup {
     pairs
       .join(corpus.select($"id".as("id_a"), $"vec".as("vec_a")), "id_a")
       .join(corpus.select($"id".as("id_b"), $"vec".as("vec_b")), "id_b")
-      .withColumn("sim", Ann.cosine($"vec_a", $"vec_b"))
+      .withColumn("sim", graft.functions.OnceOps.once(
+        Ann.cosine($"vec_a", $"vec_b"))) // barrier: see graft_once
       .filter($"sim" >= threshold)
       .select($"id_a", $"id_b")
   }

@@ -99,12 +99,18 @@ object Retrieval {
       .distinct()
       .agg(graft.functions.Bloom.bloomAgg($"g", m, k).as("b"))
       .head.getAs[Array[Byte]](0) // one m/8-byte row: scalar bootstrap
+    // Once: the n_shared > 0 filter would otherwise be pushed below
+    // the spread exchange with the WHOLE gram+bloom chain substituted
+    // into it — the chain then runs twice, and the pushed copy runs on
+    // the narrow scan (measured: 1.8 s single-task filter stage)
     spreadBatch(corpus)
       .select($"doc_id",
         array_distinct(wordNgrams(toks($"text"), n)).as("gs"))
       .select($"doc_id",
-        size(filter($"gs", g => graft.functions.Bloom
-          .bloomContains(lit(blob), g, k))).cast("long").as("n_shared"))
+        graft.functions.OnceOps.once(
+          size(filter($"gs", g => graft.functions.Bloom
+            .bloomContains(lit(blob), g, k))).cast("long"))
+          .as("n_shared"))
       .filter($"n_shared" > 0)
   }
 

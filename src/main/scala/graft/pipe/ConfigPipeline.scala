@@ -72,12 +72,16 @@ object ConfigPipeline {
         val e = str(cfg, "expr")
         df => df.withColumn(name, expr(e))
       },
-      // frozen QUAL-1 quality score over a text column
+      // frozen QUAL-1 quality score over a text column. Once: config
+      // pipelines routinely follow this step with a filter on the
+      // score, and without the barrier predicate pushdown duplicates
+      // the whole QUAL-1 expression below upstream exchanges (guide
+      // §4.4; see graft.functions.Once)
       "quality_score" -> { (_, cfg) =>
         val colName = str(cfg, "col", "extracted_text")
         val out = str(cfg, "out", "quality")
-        df => df.withColumn(out,
-          graft.ops.TextStats.qualityScore(col(colName)))
+        df => df.withColumn(out, graft.functions.OnceOps.once(
+          graft.ops.TextStats.qualityScore(col(colName))))
       },
       // exact-dup rank over md5(key), deterministic winner by `order` —
       // ranked on a slim (hash, order) projection so the payload column

@@ -26,7 +26,7 @@ object Probe21 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     case class J(start: Long, var end: Long = 0L, stages: Int,
-      tasks: Int, site: String)
+      tasks: Int, site: String, stageIds: Seq[Int] = Nil)
     val jobs = mutable.LinkedHashMap[Int, J]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -35,7 +35,8 @@ object Probe21 {
             stages = e.stageInfos.size,
             tasks = e.stageInfos.map(_.numTasks).sum,
             site = e.stageInfos.lastOption.map(_.name.take(60))
-              .getOrElse("?"))
+              .getOrElse("?"),
+            stageIds = e.stageInfos.map(_.stageId))
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized {
@@ -74,7 +75,8 @@ object Probe21 {
       jobs.synchronized {
         jobs.foreach { case (id, j) =>
           val ms = if (j.end > 0) j.end - j.start else -1L
-          println(f"PROBE21   job=$id%-4d ms=$ms%-6d stages=${j.stages}%-3d " +
+          println(f"PROBE21   job=$id%-4d ms=$ms%-6d " +
+            f"stageIds=${j.stageIds.mkString("/")}%-12s " +
             f"tasks=${j.tasks}%-5d site=${j.site}")
         }
       }
