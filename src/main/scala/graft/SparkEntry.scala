@@ -1959,8 +1959,14 @@ object SparkEntry {
       val dupNew = graft.ops.MinHashDedup.nearDuplicatesIncremental(s,
         s.read.parquet(s"$tmp/index"), hist, newBatch)
         .select($"new_id".as("id")).distinct()
+      // gates BEFORE the anti join: quality/langid/redact are row-local
+      // (the join only filters by id), so hoisting them keeps the
+      // regex CPU on the 32-partition batch instead of the post-join
+      // exchange (AQE rightly coalesces the tiny anti-join shuffle to
+      // one partition; the gates must not inherit that) — and the
+      // quality filter now drops rows before the join shuffle, which
+      // carries clean_text in place of text (same bytes)
       newBatch.toDF("id", "text")
-        .join(dupNew, Seq("id"), "left_anti")
         .withColumn("quality", graft.functions.OnceOps.once(
           graft.ops.TextStats.qualityScore($"text")))
         .filter($"quality" >= 0.5)
@@ -1968,6 +1974,7 @@ object SparkEntry {
           graft.ops.Lexicon.langId($"text").as("lang_pred"),
           round($"quality", 2).as("quality"),
           graft.ops.TextStats.redactPII($"text").as("clean_text"))
+        .join(dupNew, Seq("id"), "left_anti")
     },
 
     // the flagship's recall ledger under the oracle: the same twin

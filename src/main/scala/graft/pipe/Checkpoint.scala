@@ -109,8 +109,13 @@ object Checkpoint {
     require(!manifest.runs.contains(runId),
       s"runId '$runId' is already committed under $stateDir — " +
         "pick a fresh runId for new increments")
+    // hash path (orderOutput=false): the committed contract is
+    // exactly-once row SETS — readCommitted unions run directories, so
+    // global order is lost across runs regardless — and the range path
+    // pays a sampling pass that re-executes the input scan per
+    // increment (repartitionByRange samples its child)
     val turns = spark.read.parquet(todo: _*).as[Turn]
-    val (out, acc) = Job.run(spark, turns, runId)
+    val (out, acc) = Job.run(spark, turns, runId, orderOutput = false)
     out.write.mode(SaveMode.Overwrite)
       .parquet(s"$outputDir/extracted/run=$runId")
     Job.lineage(spark, acc).write.mode(SaveMode.Overwrite)
