@@ -28,11 +28,8 @@ import org.apache.spark.sql.types._
   *    widening, integral toDouble, Decimal.toDouble);
   *  - zip_with's null semantics are preserved: unequal lengths or a
   *    null element poison the fold -> the whole result is NULL;
-  *  - cosine = dot / (sqrt(sa) * sqrt(sb)); normDot divides each
-  *    element by its side's norm FIRST, then multiplies — the same
-  *    shape as l2normalize-then-dot (they differ in the last ulp, and
-  *    rank order is part of the frozen results, so each caller keeps
-  *    its historical shape).
+  *  - cosine = dot / (sqrt(sa) * sqrt(sb)) — the dot/(|a||b|) shape
+  *    the DuckDB oracles' list_cosine_similarity also computes.
   *
   * Float/double element types take an allocation-free direct path; any
   * other numeric element type (the SQL surface accepts e.g. decimal
@@ -92,46 +89,14 @@ object VecOps {
     java.lang.Double.valueOf(dot / (math.sqrt(sa) * math.sqrt(sb)))
   }
 
-  /** dot(a/|a|, b/|b|) with per-element division before the product —
-    * bit-identical to l2normalize(a) . l2normalize(b).
-    */
-  def normDot(a: ArrayData, b: ArrayData, aT: DataType, bT: DataType)
-      : java.lang.Double = {
-    val n = a.numElements()
-    if (b.numElements() != n) return null
-    val fast = isFast(aT) && isFast(bT)
-    val aD = aT == DoubleType
-    val bD = bT == DoubleType
-    var sa = 0.0
-    var sb = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (fast) fastElem(a, i, aD) else slowElem(a, i, aT)
-      val y = if (fast) fastElem(b, i, bD) else slowElem(b, i, bT)
-      sa += x * x
-      sb += y * y
-      i += 1
-    }
-    val na = math.sqrt(sa)
-    val nb = math.sqrt(sb)
-    var dot = 0.0
-    i = 0
-    while (i < n) {
-      val x = if (fast) fastElem(a, i, aD) else slowElem(a, i, aT)
-      val y = if (fast) fastElem(b, i, bD) else slowElem(b, i, bT)
-      dot += (x / na) * (y / nb)
-      i += 1
-    }
-    java.lang.Double.valueOf(dot)
-  }
 }
 
-abstract class VecPairExpression extends BinaryExpression {
+/** cosine(a, b) = dot / (|a| |b|) — the Ann.cosine shape. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-
-  protected def kernel: String // static method name on VecOps
+  override def prettyName: String = "graft_vec_cosine"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -142,24 +107,17 @@ abstract class VecPairExpression extends BinaryExpression {
           s"got ${l.catalogString} and ${r.catalogString}")
     }
 
-  protected lazy val leftElemType: DataType =
+  private lazy val leftElemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
-  protected lazy val rightElemType: DataType =
+  private lazy val rightElemType: DataType =
     right.dataType.asInstanceOf[ArrayType].elementType
-
-  private lazy val evalFn
-      : (ArrayData, ArrayData, DataType, DataType) => java.lang.Double =
-    kernel match {
-      case "cosine" => VecOps.cosine
-      case _ => VecOps.normDot
-    }
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
     if (l == null) return null
     val r = right.eval(input)
     if (r == null) return null
-    evalFn(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+    VecOps.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
       leftElemType, rightElemType)
   }
 
@@ -178,7 +136,7 @@ abstract class VecPairExpression extends BinaryExpression {
         if (!${cl.isNull}) {
           ${cr.code}
           if (!${cr.isNull}) {
-            java.lang.Double $boxed = graft.functions.VecOps.$kernel(
+            java.lang.Double $boxed = graft.functions.VecOps.cosine(
               ${cl.value}, ${cr.value}, $lt, $rt);
             if ($boxed != null) {
               ${ev.isNull} = false;
@@ -189,23 +147,7 @@ abstract class VecPairExpression extends BinaryExpression {
       """
     ev.copy(code = code)
   }
-}
 
-/** cosine(a, b) = dot / (|a| |b|) — the Ann.cosine shape. */
-case class VecCosine(left: Expression, right: Expression)
-    extends VecPairExpression {
-  override def prettyName: String = "graft_vec_cosine"
-  override protected def kernel: String = "cosine"
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** dot(a/|a|, b/|b|) — the knnTopK normalize-then-dot shape. */
-case class VecNormDot(left: Expression, right: Expression)
-    extends VecPairExpression {
-  override def prettyName: String = "graft_vec_norm_dot"
-  override protected def kernel: String = "normDot"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -63,35 +63,21 @@ object Ann {
       .select($"qid", $"rank", $"id")
   }
 
-  /** L2-normalize an array<float/double> column (double output). */
-  def l2normalize(vec: Column): Column = {
-    val n = sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    transform(vec, x => x.cast("double") / n)
-  }
-
-  /** Exact kNN top-k by cosine via pre-normalized dot products —
-    * rank-identical to bruteForceTopK (cosine(a,b) = dot(a/|a|,b/|b|))
-    * but each PAIR pays one array fold instead of three: the norms are
-    * amortized per row before the cross join. Same slim (qid, id, sim)
-    * projection ahead of the rank window, same (sim desc, id) ties.
+  /** Exact kNN top-k by cosine — scored with the SAME dot/(|a||b|)
+    * expression shape as bruteForceTopK and the t_knn_label oracle's
+    * list_cosine_similarity (the r5 ADVICE item: the previous
+    * normalize-then-dot shape differed from the oracle in the last
+    * ulp, making the rank-k cut data-dependent across engines; both
+    * shapes agree on every current fixture, so results are unchanged).
+    * Native single-pass kernel, slim (qid, id, sim) projection ahead
+    * of the rank window, deterministic (sim desc, id) ties.
     */
   def knnTopK(spark: SparkSession, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.graft.ColumnBridge
-    // fused native normalize-then-dot (graft.functions.VecNormDot):
-    // bit-identical values to the previous l2normalize projections +
-    // zip_with dot (same per-element divide-then-multiply shape), but
-    // no per-row materialized double arrays, no interpreted lambda per
-    // pair, and the broadcast ships raw float vectors instead of
-    // widened doubles
     val scored = corpus.crossJoin(broadcast(queries))
       .filter($"id" =!= $"qid")
-      .select($"qid", $"id",
-        ColumnBridge.column(graft.functions.VecNormDot(
-          ColumnBridge.expression($"qvec"),
-          ColumnBridge.expression($"vec"))).as("sim"))
+      .select($"qid", $"id", cosine($"qvec", $"vec").as("sim"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)

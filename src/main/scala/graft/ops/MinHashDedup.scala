@@ -83,13 +83,39 @@ object MinHashDedup {
 
   /** Word k-shingles as 64-bit hashes (set semantics). Texts with fewer
     * than k (non-empty) tokens have no shingles (degenerate-input rule).
+    * The FNV fold runs word-by-word with the ' ' separator folded in
+    * between — the same value as hashString(slice.mkString(" ")) with
+    * no per-position slice/joined-string allocations (this hash runs
+    * once per token position on every corpus pass; guide step 2).
     */
   def shingles(text: String, k: Int): Set[Long] = {
     val ws = text.split(' ').filter(_.nonEmpty)
     if (ws.length < k) Set.empty
-    else
-      (0 to ws.length - k).map(i =>
-        hashString(ws.slice(i, i + k).mkString(" "))).toSet
+    else {
+      val out = Set.newBuilder[Long]
+      var i = 0
+      while (i + k <= ws.length) {
+        var h = 0xCBF29CE484222325L
+        var wi = i
+        while (wi < i + k) {
+          if (wi > i) {
+            h ^= ' '
+            h *= 0x100000001B3L
+          }
+          val w = ws(wi)
+          var j = 0
+          while (j < w.length) {
+            h ^= w.charAt(j)
+            h *= 0x100000001B3L
+            j += 1
+          }
+          wi += 1
+        }
+        out += h
+        i += 1
+      }
+      out.result()
+    }
   }
 
   /** MinHash signature: perm i = min over shingles of mix64(h ^ seed_i).
