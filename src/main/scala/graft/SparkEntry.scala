@@ -237,8 +237,12 @@ object SparkEntry {
     "x_streaming" -> { (s, dir) =>
       import s.implicits._
       val tmp = scratchDir("plain")
+      // 8 staged files: the default maxFilesPerTrigger=8 then runs the
+      // stateless extraction micro-batch 8-way parallel (one staged
+      // file would serialize it on one core)
       docTurns(s, dir)
         .filter(!$"text".startsWith("stale duplicate"))
+        .repartition(8)
         .write.mode("overwrite").parquet(s"$tmp/in")
       val stream = graft.streaming.StreamingJob.readTurnStream(s,
         s"$tmp/in")
@@ -1251,7 +1255,11 @@ object SparkEntry {
     // the sketch's error is visible in the verified output.
     "t_kmv_distinct" -> { (s, dir) =>
       import s.implicits._
+      // repartition: the single-file lineitem scan would serialize the
+      // partial KMV/distinct aggregation on one core (t_top_ngrams
+      // note); at real scale the input has many splits
       tbl(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy($"l_returnflag")
         .agg(
           graft.functions.KmvDistinct
@@ -1270,6 +1278,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("kmvstore")
       tbl(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(graft.functions.KmvDistinct
           .kmvSketch($"l_partkey", 256).as("sk"))
