@@ -1277,8 +1277,10 @@ object SparkEntry {
     "t_kmv_merge" -> { (s, dir) =>
       import s.implicits._
       val tmp = scratchDir("kmvstore")
+      // NOT spread: the kmv-sketch partial is one mix64 per row (no
+      // distinct set), so the repartition exchange cost more than the
+      // parallelism paid (measured 0.65 -> 1.16 s; reverted)
       tbl(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(graft.functions.KmvDistinct
           .kmvSketch($"l_partkey", 256).as("sk"))

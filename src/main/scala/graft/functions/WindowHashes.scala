@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
   * fingerprint is not reusable for dedup decisions.
   */
 object WindowHashOps {
+  // PRECONDITION (r5 advice, recorded into the SUBSTR-1 contract): a
+  // NULL token hashes like the empty string (th(i) stays 0), so token
+  // arrays containing nulls alias windows with ""-bearing ones. The
+  // engine's callers tokenize with filter(split(...), t => t <> ""),
+  // which can produce neither nulls nor empties; SQL users passing
+  // containsNull arrays inherit the null=="" aliasing.
   val P1 = 1000000007L
   val P2 = 998244353L
   val B = 1000003L

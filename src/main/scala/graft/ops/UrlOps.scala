@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * case folding, duplicate-slash collapse — each changes which
   * distinct resources merge and belongs to a site-specific policy
   * layer, not the frozen default.
+  *
+  * PRECONDITION (r5 advice, recorded into the URL-1 contract): inputs
+  * must be absolute URLs containing '://'. A scheme-relative, relative
+  * or malformed URL yields a degenerate '<lowercased-input>://' string
+  * (split_part returns the whole input as the scheme). Callers on raw
+  * crawl data should pre-filter `locate('://', url) > 0`; changing the
+  * in-function behavior would change URL-1's frozen oracle semantics.
   */
 object UrlOps {
 
