@@ -1865,17 +1865,31 @@ object SparkEntry {
         "r2") // replay after commit: must be a 0-file no-op
       val manifest = graft.pipe.Checkpoint.readManifest(s, state)
       val resumed = graft.pipe.Checkpoint.readCommitted(s, out, state, "extracted")
-      // the single-shot pipeline feeds FOUR counting actions (two
-      // excepts + the row delta); localCheckpoint runs the extraction
-      // once instead of once per action (resumed is a bare parquet
-      // read-back — re-scanning it is cheaper than materializing)
+      // the single-shot pipeline feeds the diff actions; localCheckpoint
+      // runs the extraction once (resumed is a bare parquet read-back —
+      // re-scanning it is cheaper than materializing)
       val (single, _) = Job.run(s,
         s.read.parquet(inDir.toString).as[Turn], "single",
         orderOutput = false)
       val singleDF = single.toDF().localCheckpoint()
-      val diff = resumed.except(singleDF).count() +
-        singleDF.except(resumed).count()
-      val delta = resumed.count() - singleDF.count()
+      // set-difference counts in ONE grouped pass over presence flags
+      // (exactly except()'s distinct-minus semantics, incl. null-safe
+      // grouping) instead of two except jobs + two count jobs; the raw
+      // row delta rides a second cheap aggregate over the same union
+      val cols = singleDF.columns.toSeq
+      val tagged = resumed.select(cols.map(col): _*)
+        .withColumn("__a", lit(1L)).withColumn("__b", lit(0L))
+        .unionByName(singleDF
+          .withColumn("__a", lit(0L)).withColumn("__b", lit(1L)))
+      val totals = tagged
+        .agg(sum($"__a").as("na"), sum($"__b").as("nb")).head
+      val delta = totals.getLong(0) - totals.getLong(1)
+      val sides = tagged.groupBy(cols.map(col): _*)
+        .agg(max($"__a").as("ia"), max($"__b").as("ib"))
+        .agg(count(when($"ia" === 1 && $"ib" === 0, 1)).as("only_res"),
+          count(when($"ib" === 1 && $"ia" === 0, 1)).as("only_single"))
+        .head
+      val diff = sides.getLong(0) + sides.getLong(1)
       s.range(1).select(
         lit(n1).as("files_run1"), lit(n2).as("files_run2"),
         lit(n3).as("files_replay"),
