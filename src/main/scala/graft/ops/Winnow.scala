@@ -154,9 +154,12 @@ object Winnow {
       newBatch: DataFrame, k: Int = 8, w: Int = 16,
       threshold: Double = 0.5, fpCap: Int = 64): DataFrame = {
     import spark.implicits._
+    // NOT spread: the incremental batch is small by construction (the
+    // day-2 shape) and its single fingerprint pass measured cheaper
+    // than the added exchange (the t_kmv_merge lesson; the full
+    // containmentPairs corpus pass above keeps its spread)
     val fpH = index.toDF("f", "id")
-    val fpN = fingerprintIndex(spark,
-      MinHashDedup.spreadIfNarrow(newBatch), k, w)
+    val fpN = fingerprintIndex(spark, newBatch, k, w)
     val kept = fpH.union(fpN)
       .groupBy($"f").agg(count(lit(1)).as("docs"))
       .filter($"docs" <= fpCap)
