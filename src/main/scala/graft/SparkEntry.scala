@@ -286,8 +286,17 @@ object SparkEntry {
         .persist()
       base.repartitionByRange(4, $"ts")
         .write.mode("overwrite").parquet(s"$tmp/in")
-      base.repartitionByRange(4, $"ts")
-        .write.mode("append").parquet(s"$tmp/in")
+      // the duplicate copy is byte-identical staged data — file copies
+      // are equivalent to re-running the ranged write (same rows in
+      // separate files, the cross-batch-duplicate challenge the gate
+      // needs) without a second sample+shuffle+write job chain
+      new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(f.getParentFile,
+              "dup-" + f.getName).toPath)
+        }
       // span from the staged files (same rows), then release the cache
       val span = s.read.parquet(s"$tmp/in").agg(
         (max(unix_timestamp($"ts")) - min(unix_timestamp($"ts")))

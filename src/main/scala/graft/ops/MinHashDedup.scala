@@ -383,7 +383,11 @@ object MinHashDedup {
       .select(explode(array($"id_a", $"id_b")).as("id"))
     // shingle arrays are SORTED once per doc here, so the per-pair
     // verify below is a linear merge (see jaccardSorted); the spread
-    // corpus keeps candidate re-shingling parallel on narrow scans
+    // corpus keeps candidate re-shingling parallel on narrow scans.
+    // NOT localCheckpointed despite two consumers (id_a/id_b joins):
+    // measured +3 AQE jobs and no CPU win across the whole minhash
+    // family — the broadcast semi-join re-execution is cheaper than
+    // the extra materialization (the t_kmv_merge lesson again)
     val sh = docsSpread.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]
