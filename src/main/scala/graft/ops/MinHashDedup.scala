@@ -137,6 +137,99 @@ object MinHashDedup {
     sig
   }
 
+  /** Signature over a primitive shingle array (distinctness assumed —
+    * a duplicate element cannot change a min anyway). Same values as
+    * signature(Set); the array path is what the engine's hot loops use
+    * (an immutable Set[Long] boxes every element and its iteration
+    * dominates the signing pass at scale).
+    */
+  private[ops] def signatureArr(sh: Array[Long], numPerm: Int,
+      seed: Long): Array[Long] = {
+    val seeds = Array.tabulate(numPerm)(i => mix64(seed + i))
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      val h = sh(j)
+      var i = 0
+      while (i < numPerm) {
+        val v = mix64(h ^ seeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** Sort a(0..n-1) and keep distinct values — the primitive-array
+    * replacement for building a Set (identical value SET, no boxing).
+    */
+  private[ops] def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    if (n == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(a, 0, n)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Allocation/boxing-free twin of shingles(): SORTED-DISTINCT word
+    * k-shingle hashes as a primitive array (same FNV values).
+    */
+  private[ops] def shinglesArr(text: String, k: Int): Array[Long] = {
+    val ws = text.split(' ').filter(_.nonEmpty)
+    if (ws.length < k) return Array.emptyLongArray
+    val out = new Array[Long](ws.length - k + 1)
+    var i = 0
+    while (i + k <= ws.length) {
+      var h = 0xCBF29CE484222325L
+      var wi = i
+      while (wi < i + k) {
+        if (wi > i) {
+          h ^= ' '
+          h *= 0x100000001B3L
+        }
+        val w = ws(wi)
+        var j = 0
+        while (j < w.length) {
+          h ^= w.charAt(j)
+          h *= 0x100000001B3L
+          j += 1
+        }
+        wi += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    sortedDistinct(out, out.length)
+  }
+
+  /** Allocation/boxing-free twin of charNgrams(): SORTED-DISTINCT char
+    * n-gram hashes as a primitive array (same FNV values).
+    */
+  private[ops] def charNgramsArr(text: String, n: Int): Array[Long] = {
+    if (text.length < n) return Array.emptyLongArray
+    val m = text.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xCBF29CE484222325L
+      var j = i
+      val end = i + n
+      while (j < end) {
+        h ^= text.charAt(j)
+        h *= 0x100000001B3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    sortedDistinct(out, m)
+  }
+
   def exactJaccard(a: Set[Long], b: Set[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     val inter = a.intersect(b).size
@@ -170,7 +263,7 @@ object MinHashDedup {
     * shingles emit nothing.
     */
   private def bandRows(spark: SparkSession, docs: Dataset[(Long, String)],
-      mk: String => Set[Long], numPerm: Int, bands: Int,
+      mk: String => Array[Long], numPerm: Int, bands: Int,
       seed: Long): DataFrame = {
     import spark.implicits._
     val rows = numPerm / bands
@@ -178,7 +271,7 @@ object MinHashDedup {
       val sh = mk(text)
       if (sh.isEmpty) Iterator.empty
       else {
-        val sig = signature(sh, numPerm, seed)
+        val sig = signatureArr(sh, numPerm, seed)
         (0 until bands).iterator.map { b =>
           var h = 0xCBF29CE484222325L
           var i = b * rows
@@ -189,9 +282,27 @@ object MinHashDedup {
     }.toDF("band", "bh", "id")
   }
 
+  /** Resolve to the SORTED-DISTINCT primitive-array shingler the hot
+    * loops run on: a caller-supplied Set shingler is adapted (same
+    * value set — min-signatures and sorted-merge jaccard are container-
+    * agnostic), the defaults use the allocation-free array twins.
+    * Well-known Set shinglers are rebound to their array twins so the
+    * public API keeps its shape while the hot path stays unboxed.
+    */
   private def resolveShingler(shingler: String => Set[Long],
-      shingleK: Int): String => Set[Long] =
-    if (shingler != null) shingler else shingles(_, shingleK)
+      shingleK: Int): String => Array[Long] =
+    if (shingler != null) { s =>
+      val a = shingler(s).toArray
+      java.util.Arrays.sort(a)
+      a
+    }
+    else shinglesArr(_, shingleK)
+
+  /** Char-n-gram array shingler for nearDuplicates' `shinglerArr`
+    * param — the boxing-free form of `charNgrams(_, n)`.
+    */
+  def charNgramShingler(n: Int): String => Array[Long] =
+    charNgramsArr(_, n)
 
   /** Repartition a corpus to the session's default parallelism when its
     * scan is NARROWER than that — the guide §2.5 input-skew rule (one
@@ -262,7 +373,7 @@ object MinHashDedup {
       spreadIfNarrow(docs).toDF("id", "text")
         .join(ids, Seq("id"), "left_semi")
         .as[(Long, String)]
-        .map { case (id, text) => (id, mk(text).toArray.sorted.toSeq) }
+        .map { case (id, text) => (id, mk(text).toSeq) }
         .toDF("id", "sh")
     val shOld = sortedShingles(oldDocs,
       pairs.select($"old_id".as("id")))
@@ -328,17 +439,24 @@ object MinHashDedup {
     *
     * Input: (id: Long, text: String). Output: (id_a, id_b, jaccard)
     * with id_a < id_b, jaccard rounded to 4 decimals for cross-engine
-    * comparability.
+    * comparability. `shinglerArr` is the boxing-free custom-shingler
+    * form (MUST return SORTED-DISTINCT hashes — charNgramShingler
+    * does); `shingler` (Set) remains for compatibility and is adapted.
     */
   def nearDuplicates(spark: SparkSession, docs: Dataset[(Long, String)],
       shingleK: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, bucketCap: Int = 64,
       shingler: String => Set[Long] = null,
-      ledger: Observation = null): DataFrame = {
+      ledger: Observation = null,
+      shinglerArr: String => Array[Long] = null): DataFrame = {
     import spark.implicits._
     require(numPerm % bands == 0, "numPerm must divide into bands")
+    require(shingler == null || shinglerArr == null,
+      "pass shingler OR shinglerArr, not both")
     val seed = 42L
-    val mk = resolveShingler(shingler, shingleK)
+    val mk =
+      if (shinglerArr != null) shinglerArr
+      else resolveShingler(shingler, shingleK)
 
     // band rows are consumed TWICE (bucket-count pass + bucket join);
     // without materialization the shingle+signature flatMap — the
@@ -391,7 +509,7 @@ object MinHashDedup {
     val sh = docsSpread.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]
-      .map { case (id, text) => (id, mk(text).toArray.sorted.toSeq) }
+      .map { case (id, text) => (id, mk(text).toSeq) }
       .toDF("id", "sh")
 
     pairs
